@@ -1,0 +1,165 @@
+"""Prognostic state, balance bookkeeping and solver parameters.
+
+Mirrors the reference's waterData_t / balanceData_t / SolverParameters
+(agrolib/soilFluxes3D/types.h:137-184, 291-315) as JAX pytrees so the whole
+adaptive-timestep state machine can live inside ``lax.while_loop``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from criteria3d_tpu.core.grid import Grid
+from criteria3d_tpu.core.soil import (WRCModel, MeanType, se_from_psi,
+                                      psi_from_se, mualem_conductivity)
+
+__all__ = ["SolverParameters", "BalanceData", "WaterState"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverParameters:
+    """Numerical parameters (reference types.h:291-315, project3D.cpp:619-652).
+
+    This is a *static* (hashable) config: changing any field triggers a
+    re-jit. The evolving time step ``dt_curr`` lives in WaterState instead.
+    """
+
+    mbr_threshold: float = 1e-3
+    residual_tolerance: float = 1e-10
+    delta_t_min: float = 1.0
+    delta_t_max: float = 600.0
+    max_approximations: int = 10
+    max_iterations: int = 200
+    wrc_model: WRCModel = WRCModel.MODIFIED_VAN_GENUCHTEN
+    mean_type: MeanType = MeanType.LOGARITHMIC
+    lateral_vertical_ratio: float = 4.0
+    heat_weight_factor: float = 0.5
+    courant_threshold: float = 0.5     # Δt growth gate
+    instability_factor: float = 10.0
+    dtype: type = jnp.float64
+
+    def max_iterations_for(self, approx: int | jax.Array):
+        """(approx+1) * maxIter/maxApprox, min 25 (solver.h:55-59)."""
+        per = jnp.float32(self.max_iterations) / jnp.float32(self.max_approximations)
+        n = ((approx + 1) * per).astype(jnp.int32)
+        return jnp.maximum(n, 25)
+
+    @staticmethod
+    def from_model_accuracy(accuracy: int, cell_size: float) -> "SolverParameters":
+        """App-level accuracy 1-5 → numerical parameters.
+
+        Reference: Project3D::setAccuracy (project3D.cpp:619-652).
+        """
+        v_max = 5.0 + 5.0 * accuracy
+        return SolverParameters(
+            delta_t_min=min(6.0, cell_size / v_max),
+            delta_t_max=3600.0,
+            max_iterations=150,
+            max_approximations=10,
+            residual_tolerance=10.0 ** -(7 + accuracy),
+            mbr_threshold=10.0 ** -accuracy,
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BalanceData:
+    """Scalar mass-balance bookkeeping (balanceData_t, types.h:175-184)."""
+
+    storage: jax.Array          # [m3]
+    sink_source: jax.Array      # [m3]
+    mbe: jax.Array              # [m3]
+    mbr: jax.Array              # [-]
+
+    @staticmethod
+    def zero(dtype=jnp.float64) -> "BalanceData":
+        z = jnp.zeros((), dtype)
+        return BalanceData(z, z, z, z)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WaterState:
+    """Evolving water state. All field arrays are (L, R, C).
+
+    ``h`` is the TOTAL hydraulic potential [m] (the reference's
+    ``pressureHead``): z + matric potential for soil nodes, z + water depth
+    for surface nodes.
+    """
+
+    h: jax.Array                 # [m] total potential
+    h_old: jax.Array             # [m] previous accepted step
+    best_h: jax.Array            # [m] best Picard iterate of current step
+    se: jax.Array                # [-] degree of saturation
+    k: jax.Array                 # [m s-1] hydraulic conductivity
+    sink_source: jax.Array       # [m3 s-1] user-set water sink/source
+    pond: jax.Array              # (R,C) [m] surface pond storage height
+    boundary_flow_sum: jax.Array  # (L,R,C) [m3] cumulated boundary flow
+
+    dt_curr: jax.Array           # [s] adaptive time step (persistent)
+    courant: jax.Array           # [-] last surface Courant number
+
+    balance_prev: BalanceData     # previous accepted step
+    balance_current: BalanceData  # current step
+    balance_period: BalanceData   # current period (hour)
+    balance_whole: BalanceData    # whole simulation
+
+    @staticmethod
+    def initialize(grid: Grid, params: SolverParameters, *,
+                   matric_potential: jax.Array | float | None = None,
+                   degree_of_saturation: jax.Array | float | None = None,
+                   surface_water: float = 0.0) -> "WaterState":
+        """Initial state from matric potential [m] or saturation degree.
+
+        Reference: setNodeMatricPotential / setNodeDegreeOfSaturation
+        (soilFluxes3D.cpp:842-884) + initializeWaterContent
+        (project3D.cpp:1104-1158).
+        """
+        dt = params.dtype
+        L, R, C = grid.shape
+        if matric_potential is not None:
+            psi = jnp.broadcast_to(jnp.asarray(matric_potential, dt), (L, R, C))
+            h = grid.z + psi
+            # surface nodes: water depth must be >= 0
+            h = h.at[0].set(grid.z[0] + jnp.maximum(psi[0], surface_water))
+            psi_mag = jnp.abs(jnp.minimum(h - grid.z, 0.0))
+            se = jnp.where(h >= grid.z, 1.0,
+                           se_from_psi(grid.soil, psi_mag, params.wrc_model))
+        elif degree_of_saturation is not None:
+            se = jnp.broadcast_to(jnp.asarray(degree_of_saturation, dt), (L, R, C))
+            psi = psi_from_se(grid.soil, jnp.clip(se, 1e-9, 1.0), params.wrc_model)
+            h = grid.z - psi
+            h = h.at[0].set(grid.z[0] + surface_water)
+        else:
+            raise ValueError("give matric_potential or degree_of_saturation")
+
+        se = se.at[0].set(1.0)
+        se = jnp.where(grid.mask, se, 0.0)
+        h = jnp.where(grid.mask, h, 0.0)
+        k = jnp.where(grid.mask, mualem_conductivity(grid.soil, se, params.wrc_model), 0.0)
+        k = k.at[0].set(0.0)
+
+        zeros = jnp.zeros((L, R, C), dt)
+        state = WaterState(
+            h=h, h_old=h, best_h=h, se=se, k=k,
+            sink_source=zeros,
+            pond=jnp.asarray(grid.pond_max, dt),
+            boundary_flow_sum=zeros,
+            dt_curr=jnp.asarray(params.delta_t_max, dt),
+            courant=jnp.zeros((), dt),
+            balance_prev=BalanceData.zero(dt),
+            balance_current=BalanceData.zero(dt),
+            balance_period=BalanceData.zero(dt),
+            balance_whole=BalanceData.zero(dt),
+        )
+        return state
+
+    # convenience diagnostics -------------------------------------------------
+    def matric_potential(self, grid: Grid) -> jax.Array:
+        return jnp.where(grid.mask, self.h - grid.z, 0.0)
+
+    def surface_water_level(self, grid: Grid) -> jax.Array:
+        return jnp.where(grid.mask[0], jnp.maximum(self.h[0] - grid.z[0], 0.0), 0.0)

@@ -1,0 +1,387 @@
+"""Adaptive time stepping: Picard outer loop, Jacobi inner loop, Δt control.
+
+This is the TPU-native re-expression of the reference's solver control flow
+(CPUSolver::waterMainLoop / waterApproximationLoop / solveLinearSystem,
+agrolib/soilFluxes3D/cpusolver.cpp:143-468,672-703, and evaluateWaterBalance,
+water.cpp:165-227). Everything — the step-retry loop, the <=10 Picard
+approximations, the <=150 Jacobi sweeps, the mass-balance accept/halve/grow
+Δt machine — runs on device inside nested ``lax.while_loop``s with scalar
+carries; there are no host round-trips inside a step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from criteria3d_tpu.core.grid import Grid
+from criteria3d_tpu.core.state import BalanceData, SolverParameters, WaterState
+from criteria3d_tpu.solver import water as W
+
+__all__ = ["compute_step", "compute_period", "initialize_balance"]
+
+# step outcome codes (balanceResult_t, types.h:174)
+RUNNING = 0
+ACCEPTED = 1
+REFUSED = 2
+HALVED = 3
+NAN = 4
+
+
+def initialize_balance(grid: Grid, params: SolverParameters,
+                       state: WaterState) -> WaterState:
+    """Reset all balance counters to the current storage.
+
+    Reference: initializeWaterBalance (water.cpp:35-65) — called by the app
+    at the start of every model run (project3D.cpp:1313 initializeBalance).
+    """
+    se = W.compute_se(grid, params, state.h)
+    storage = W.total_water_content(grid, params, state.h, se)
+    zero = jnp.zeros((), params.dtype)
+    bal = BalanceData(storage=storage, sink_source=zero, mbe=zero, mbr=zero)
+    return WaterState(
+        h=state.h, h_old=state.h, best_h=state.h, se=se, k=state.k,
+        sink_source=state.sink_source, pond=state.pond,
+        boundary_flow_sum=jnp.zeros_like(state.boundary_flow_sum),
+        dt_curr=state.dt_curr, courant=state.courant,
+        balance_prev=bal, balance_current=bal,
+        balance_period=bal, balance_whole=bal,
+    )
+
+
+# ----------------------------------------------------------------------
+# inner: Jacobi iterations
+# ----------------------------------------------------------------------
+
+def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
+                  params: SolverParameters, approx: jax.Array):
+    """Iterate Jacobi sweeps until convergence/divergence/iteration cap.
+
+    Returns (x, diverged). Reference: solveLinearSystem
+    (cpusolver.cpp:672-703) with the per-approximation iteration budget
+    max(25, (approx+1)·maxIter/maxApprox) (solver.h:55-59).
+    """
+    max_iter = params.max_iterations_for(approx)
+    tol = params.residual_tolerance
+
+    def cond(c):
+        _, it, _, done, _ = c
+        return jnp.logical_and(~done, it < max_iter)
+
+    def body(c):
+        x, it, best, done, diverged = c
+        x_new, norm = W.jacobi_sweep(system, x, grid, grid.n_nodes)
+        converged = norm < tol
+        div = jnp.logical_and(~converged, norm > best * 10.0)
+        best = jnp.minimum(best, norm)
+        return (x_new, it + 1, best, converged | div, div)
+
+    best0 = jnp.ones((), x0.dtype)
+    x, _, _, _, diverged = lax.while_loop(
+        cond, body, (x0, jnp.zeros((), jnp.int32), best0,
+                     jnp.zeros((), bool), jnp.zeros((), bool)))
+    return x, diverged
+
+
+def _decimal_floor_dt(dt: jax.Array) -> jax.Array:
+    """Floor dt at its first significant decimal digit (checkCourant,
+    cpusolver.cpp:262-277): multiply by 10 until >= 1, floor, scale back."""
+    def cond(c):
+        v, _ = c
+        return v < 1.0
+
+    def body(c):
+        v, n = c
+        return v * 10.0, n + 1
+
+    v, n = lax.while_loop(cond, body, (dt, jnp.zeros((), jnp.int32)))
+    return jnp.floor(v) / (10.0 ** n.astype(dt.dtype))
+
+
+# ----------------------------------------------------------------------
+# middle: Picard approximation loop
+# ----------------------------------------------------------------------
+
+class _ApproxCarry(NamedTuple):
+    approx: jax.Array
+    result: jax.Array
+    h: jax.Array
+    se: jax.Array
+    k: jax.Array
+    water_flow: jax.Array
+    boundary_rate: jax.Array
+    best_h: jax.Array
+    best_mbr: jax.Array
+    dt_curr: jax.Array
+    courant: jax.Array
+    balance: tuple  # (storage, sink, mbe, mbr)
+
+
+def _approximation_loop(grid: Grid, params: SolverParameters,
+                        h: jax.Array, h_old: jax.Array, se: jax.Array,
+                        sink_source: jax.Array, pond: jax.Array,
+                        prev_storage: jax.Array, dt: jax.Array,
+                        dt_curr: jax.Array) -> _ApproxCarry:
+    """One attempt at time step ``dt`` (waterApproximationLoop,
+    cpusolver.cpp:392-468)."""
+    dtype = params.dtype
+    zero = jnp.zeros((), dtype)
+
+    def evaluate(carry: _ApproxCarry) -> _ApproxCarry:
+        """evaluateWaterBalance (water.cpp:165-227) + acceptStep/restoreBestStep."""
+        approx = carry.approx
+        storage, sink, mbe, mbr = W.current_mass_balance(
+            grid, params, carry.h, carry.se, carry.water_flow, prev_storage, dt)
+        err = jnp.abs(mbr)
+        is_nan = ~jnp.isfinite(err)
+        can_halve = dt > params.delta_t_min
+
+        ok = jnp.logical_and(~is_nan, err < params.mbr_threshold)
+
+        # best-step tracking (before the instability check)
+        store_best = (~is_nan) & (~ok) & ((approx == 0) | (err < carry.best_mbr))
+        best_h = jnp.where(store_best, carry.h, carry.best_h)
+        best_mbr = jnp.where(store_best, err, carry.best_mbr)
+
+        unstable = (~is_nan) & (~ok) & (
+            (err > best_mbr * params.instability_factor)
+            | (approx == params.max_approximations - 1))
+
+        halved = (is_nan & can_halve) | (unstable & can_halve)
+        restore = (is_nan & ~can_halve & (approx > 0)) | (unstable & ~can_halve)
+        fatal_nan = is_nan & ~can_halve & (approx == 0)
+        accepted = ok | restore
+
+        # A refused balance keeps the Picard loop RUNNING (the reference's
+        # for-loop just moves to the next approximation on stepRefused).
+        result = jnp.where(accepted, ACCEPTED,
+                           jnp.where(halved, HALVED,
+                                     jnp.where(fatal_nan, NAN, RUNNING)))
+
+        # Δt update: halve on failure; grow on clean low-error acceptance
+        grow = ok & (approx < 3) & (err < params.mbr_threshold * 0.1) \
+            & (carry.courant < params.courant_threshold)
+        dt_new = jnp.where(
+            halved, jnp.maximum(carry.dt_curr * 0.5, params.delta_t_min),
+            jnp.where(grow, jnp.minimum(params.delta_t_max, carry.dt_curr * 2.0),
+                      carry.dt_curr))
+
+        def do_restore(_):
+            # restoreBestStep (water.cpp:253-267)
+            h_r = best_h
+            se_r = W.compute_se(grid, params, h_r)
+            _, k_r = W.compute_capacity(grid, params, h_r, h_old, se_r)
+            flow_r, rate_r = W.update_boundary_water(
+                grid, params, h_r, h_old, k_r, sink_source, pond, dt)
+            bal_r = W.current_mass_balance(
+                grid, params, h_r, se_r, flow_r, prev_storage, dt)
+            return h_r, se_r, k_r, flow_r, rate_r, bal_r
+
+        def no_restore(_):
+            return (carry.h, carry.se, carry.k, carry.water_flow,
+                    carry.boundary_rate, (storage, sink, mbe, mbr))
+
+        h2, se2, k2, flow2, rate2, bal2 = lax.cond(
+            restore, do_restore, no_restore, None)
+
+        return carry._replace(
+            result=result, h=h2, se=se2, k=k2, water_flow=flow2,
+            boundary_rate=rate2, best_h=best_h, best_mbr=best_mbr,
+            dt_curr=dt_new, balance=bal2)
+
+    def body(carry: _ApproxCarry) -> _ApproxCarry:
+        approx = carry.approx
+        capacity, k = W.compute_capacity(grid, params, carry.h, h_old, carry.se)
+        flow, rate = W.update_boundary_water(
+            grid, params, carry.h, h_old, k, sink_source, pond, dt)
+        system = W.assemble_system(
+            grid, params, carry.h, h_old, k, flow, capacity, pond, approx, dt)
+
+        courant_fail = jnp.logical_and(system.courant >= 1.01,
+                                       dt > params.delta_t_min)
+
+        def on_courant_fail(carry):
+            # checkCourant (cpusolver.cpp:248-281)
+            dt_new = _decimal_floor_dt(carry.dt_curr / system.courant)
+            dt_new = jnp.maximum(params.delta_t_min, dt_new)
+            return carry._replace(result=jnp.asarray(HALVED),
+                                  dt_curr=dt_new, courant=system.courant,
+                                  k=k, water_flow=flow, boundary_rate=rate,
+                                  approx=approx + 1)
+
+        def on_solve(carry):
+            x, diverged = _jacobi_solve(system, carry.h, grid, params, approx)
+            halve_on_diverge = jnp.logical_and(diverged,
+                                               dt > params.delta_t_min)
+
+            def diverged_branch(carry):
+                dt_new = jnp.maximum(params.delta_t_min, carry.dt_curr / 2.0)
+                return carry._replace(result=jnp.asarray(HALVED),
+                                      dt_curr=dt_new, courant=system.courant,
+                                      k=k, water_flow=flow, boundary_rate=rate,
+                                      approx=approx + 1)
+
+            def update_branch(carry):
+                h_new = x
+                se_new = W.compute_se(grid, params, h_new)
+                carry = carry._replace(
+                    h=h_new, se=se_new, k=k, water_flow=flow,
+                    boundary_rate=rate, courant=system.courant)
+                carry = evaluate(carry)
+                return carry._replace(approx=approx + 1)
+
+            return lax.cond(halve_on_diverge, diverged_branch, update_branch, carry)
+
+        return lax.cond(courant_fail, on_courant_fail, on_solve, carry)
+
+    def cond(carry: _ApproxCarry):
+        return jnp.logical_and(carry.result == RUNNING,
+                               carry.approx < params.max_approximations)
+
+    init = _ApproxCarry(
+        approx=jnp.zeros((), jnp.int32),
+        result=jnp.asarray(RUNNING),
+        h=h, se=se, k=jnp.zeros_like(h),
+        water_flow=jnp.zeros_like(h), boundary_rate=jnp.zeros_like(h),
+        best_h=h, best_mbr=jnp.asarray(jnp.inf, dtype),
+        dt_curr=dt_curr, courant=zero,
+        balance=(zero, zero, zero, zero),
+    )
+    return lax.while_loop(cond, body, init)
+
+
+# ----------------------------------------------------------------------
+# outer: step-retry loop (waterMainLoop) and the public API
+# ----------------------------------------------------------------------
+
+class _StepCarry(NamedTuple):
+    state: WaterState
+    dt_accepted: jax.Array
+    done: jax.Array
+    nan_flag: jax.Array
+
+
+def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
+                  max_time_step: jax.Array):
+    dtype = params.dtype
+
+    def body(c: _StepCarry) -> _StepCarry:
+        st = c.state
+        dt = jnp.minimum(st.dt_curr, max_time_step)
+        h_old = st.h
+        se = W.compute_se(grid, params, st.h)
+
+        out = _approximation_loop(
+            grid, params, st.h, h_old, se, st.sink_source, st.pond,
+            st.balance_prev.storage, dt, st.dt_curr)
+
+        accepted = out.result == ACCEPTED
+        # NAN is fatal; a RUNNING leak is impossible by construction (the last
+        # approximation always yields a terminal result) but treated as fatal
+        # rather than risking a non-terminating retry loop.
+        fatal = (out.result == NAN) | (out.result == RUNNING)
+        storage, sink, mbe, mbr = out.balance
+
+        # acceptStep (water.cpp:230-251): balances + cumulative boundary flow
+        new_prev = BalanceData(storage=storage, sink_source=sink,
+                               mbe=st.balance_prev.mbe, mbr=st.balance_prev.mbr)
+        new_period = BalanceData(
+            storage=st.balance_period.storage,
+            sink_source=st.balance_period.sink_source + sink,
+            mbe=st.balance_period.mbe, mbr=st.balance_period.mbr)
+        new_bflow = st.boundary_flow_sum + out.boundary_rate * dt
+
+        new_state = WaterState(
+            h=jnp.where(accepted, out.h, h_old),
+            h_old=jnp.where(accepted, h_old, st.h_old),
+            best_h=out.best_h,
+            se=jnp.where(accepted, out.se, st.se),
+            k=jnp.where(accepted, out.k, st.k),
+            sink_source=st.sink_source,
+            pond=st.pond,
+            boundary_flow_sum=jnp.where(accepted, new_bflow,
+                                        st.boundary_flow_sum),
+            dt_curr=out.dt_curr,
+            courant=out.courant,
+            balance_prev=jax.tree.map(
+                lambda n, o: jnp.where(accepted, n, o), new_prev,
+                st.balance_prev),
+            balance_current=BalanceData(storage, sink, mbe, mbr),
+            balance_period=jax.tree.map(
+                lambda n, o: jnp.where(accepted, n, o), new_period,
+                st.balance_period),
+            balance_whole=st.balance_whole,
+        )
+        done = accepted | fatal
+        return _StepCarry(state=new_state,
+                          dt_accepted=jnp.asarray(dt, dtype),
+                          done=done, nan_flag=c.nan_flag | fatal)
+
+    init = _StepCarry(state=state, dt_accepted=jnp.zeros((), dtype),
+                      done=jnp.zeros((), bool), nan_flag=jnp.zeros((), bool))
+    final = lax.while_loop(lambda c: ~c.done, body, init)
+    return final.state, final.dt_accepted
+
+
+@partial(jax.jit, static_argnames=("params",))
+def compute_step(grid: Grid, params: SolverParameters, state: WaterState,
+                 max_time_step) -> tuple[WaterState, jax.Array]:
+    """Advance the water state by one adaptive step (<= max_time_step [s]).
+
+    Returns ``(new_state, dt_accepted)``. Reference: computeStep
+    (soilFluxes3D.cpp:1785-1821) / CPUSolver::waterMainLoop.
+    """
+    max_ts = jnp.asarray(max_time_step, params.dtype)
+    return _compute_step(grid, params, state, max_ts)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def compute_period(grid: Grid, params: SolverParameters, state: WaterState,
+                   period_seconds) -> WaterState:
+    """Run adaptive steps until ``period_seconds`` is covered (<= 1 hour in the
+    reference app), then close the period balance.
+
+    Reference: computePeriod (soilFluxes3D.cpp:1760-1777) +
+    updateWaterBalanceDataWholePeriod (water.cpp:143-156).
+    """
+    dtype = params.dtype
+    period = jnp.asarray(period_seconds, dtype)
+
+    # reset period sink/source counter
+    bp = state.balance_period
+    state = dataclasses.replace(
+        state,
+        balance_period=BalanceData(bp.storage, jnp.zeros((), dtype),
+                                   bp.mbe, bp.mbr))
+
+    def cond(c):
+        st, t = c
+        return t < period
+
+    def body(c):
+        st, t = c
+        st, dt = _compute_step(grid, params, st, period - t)
+        return st, t + dt
+
+    state, _ = lax.while_loop(cond, body, (state, jnp.zeros((), dtype)))
+
+    # close the period (water.cpp:143-156)
+    cur, per, whole = state.balance_current, state.balance_period, state.balance_whole
+    whole_sink = whole.sink_source + per.sink_source
+    d_period = cur.storage - per.storage
+    d_whole = cur.storage - whole.storage
+    per_mbe = d_period - per.sink_source
+    whole_mbe = d_whole - whole_sink
+    ref = jnp.maximum(0.001, whole_sink)
+    whole_mbr = whole_mbe / ref
+
+    return dataclasses.replace(
+        state,
+        balance_period=BalanceData(cur.storage, per.sink_source, per_mbe, per.mbr),
+        balance_whole=BalanceData(whole.storage, whole_sink, whole_mbe, whole_mbr),
+    )

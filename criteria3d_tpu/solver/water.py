@@ -1,0 +1,344 @@
+"""Water-process physics: conductances, boundary fluxes, capacity, balance.
+
+TPU-native stencil re-expression of agrolib/soilFluxes3D/water.cpp. Each
+function is pure and shape-static; the reference's per-node parallel-for
+becomes one fused element-wise pass over dense (L, R, C) fields, and its
+neighbour-pointer chasing becomes the 8+2 stencil shifts of
+:mod:`criteria3d_tpu.solver.shifts`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from criteria3d_tpu.constants import (DBL_EPSILON, EPSILON_METER,
+                                      EPSILON_RUNOFF, MIN_INFILTRATION_RATE)
+from criteria3d_tpu.core.grid import BoundaryType, Grid
+from criteria3d_tpu.core.soil import (compute_mean, dtheta_dh,
+                                      mualem_conductivity, se_from_psi,
+                                      theta_from_se)
+from criteria3d_tpu.core.state import SolverParameters
+from criteria3d_tpu.solver.shifts import LATERAL_OFFSETS, shift2d
+
+__all__ = [
+    "total_water_content", "update_boundary_water", "compute_capacity",
+    "compute_se", "assemble_system", "current_mass_balance", "LinearSystem",
+]
+
+
+class LinearSystem(NamedTuple):
+    """Jacobi-preconditioned linear system in stencil form.
+
+    ``x_new = b + c_up * x(l-1) + c_down * x(l+1) + sum_k c_lat[k] * x(nbr_k)``
+    (the preconditioned off-diagonals are stored with their Jacobi-iteration
+    sign, i.e. +a_ij/diag_i; reference cpusolver.cpp:284-305, water.cpp:565-601).
+    """
+
+    b: jax.Array        # (L,R,C) preconditioned RHS
+    c_up: jax.Array     # (L,R,C) coefficient towards layer above
+    c_down: jax.Array   # (L,R,C) coefficient towards layer below
+    c_lat: jax.Array    # (8,L,R,C) lateral coefficients
+    diag: jax.Array     # (L,R,C) original diagonal (C/dt + sum a)
+    courant: jax.Array  # scalar: max surface Courant number of this assembly
+
+
+def compute_se(grid: Grid, params: SolverParameters, h: jax.Array) -> jax.Array:
+    """Subsurface degree of saturation from total potential.
+
+    Reference: computeNodeSe (soilPhysics.cpp:68-83): 1 when saturated
+    (h >= z), else the retention curve at psi = |h - z|. Layer 0 (surface)
+    keeps Se = 1.
+    """
+    psi = jnp.abs(h - grid.z)
+    se = jnp.where(h >= grid.z, 1.0, se_from_psi(grid.soil, psi, params.wrc_model))
+    se = se.at[0].set(1.0)
+    return jnp.where(grid.mask, se, 0.0)
+
+
+def total_water_content(grid: Grid, params: SolverParameters,
+                        h: jax.Array, se: jax.Array) -> jax.Array:
+    """Total water volume [m3] (computeTotalWaterContent, water.cpp:71-90).
+
+    Surface nodes contribute water depth × area; soil nodes theta × volume.
+    """
+    surf = jnp.maximum(h[0] - grid.z[0], 0.0) * grid.volume[0]
+    surf = jnp.where(grid.mask[0], surf, 0.0)
+    theta = theta_from_se(grid.soil, se)
+    soil = jnp.where(grid.mask, theta * grid.volume, 0.0)
+    soil = soil.at[0].set(0.0)
+    return jnp.sum(surf) + jnp.sum(soil)
+
+
+def update_boundary_water(grid: Grid, params: SolverParameters,
+                          h: jax.Array, h_old: jax.Array, k: jax.Array,
+                          sink_source: jax.Array, pond: jax.Array,
+                          dt: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-node flow [m3 s-1] = sink/source + boundary flux.
+
+    Reference: updateBoundaryWaterData (water.cpp:632-807). Returns
+    ``(water_flow, boundary_rate)``.
+    """
+    avg_h = 0.5 * (h + h_old)
+    flow = jnp.where(grid.mask, sink_source, 0.0)
+
+    # surface negative flux (evaporation) limited by available water
+    h_s0 = jnp.maximum(0.0, avg_h[0] - grid.z[0])
+    max_surf_flux = -h_s0 * grid.volume[0] / dt
+    flow0 = jnp.where(flow[0] < 0, jnp.maximum(flow[0], max_surf_flux), flow[0])
+    flow = flow.at[0].set(jnp.where(grid.mask[0], flow0, 0.0))
+
+    bt = grid.btype
+
+    # --- Runoff (surface rim): Manning outflow ---
+    hs = jnp.maximum(0.0, avg_h[0] - (grid.z[0] + pond))
+    rough = jnp.maximum(grid.roughness, 1e-12)
+    v = hs ** (2.0 / 3.0) * jnp.sqrt(jnp.maximum(grid.bslope[0], 0.0)) / rough
+    max_flow = hs * grid.volume[0] / dt
+    val_flow = hs * v * grid.bsize[0]
+    runoff_rate0 = jnp.where(hs < EPSILON_RUNOFF, 0.0,
+                             -jnp.minimum(val_flow, max_flow))
+    runoff_rate = jnp.zeros_like(h).at[0].set(runoff_rate0)
+
+    # --- FreeDrainage (bottom): Darcy unit gradient through the up interface ---
+    fd_rate = -k * grid.area
+
+    # --- FreeLateralDrainage (rim soil): Darcy gradient = slope ---
+    fld_rate = -k * grid.bsize * grid.bslope * params.lateral_vertical_ratio
+
+    # --- PrescribedTotalWaterPotential: fixed head 1 m below ---
+    Lb = 1.0
+    boundary_z = grid.z - Lb
+    boundary_psi = grid.prescribed_h - boundary_z
+    k_bound = jnp.where(
+        boundary_psi >= 0, grid.soil.k_sat,
+        mualem_conductivity(
+            grid.soil,
+            se_from_psi(grid.soil, jnp.abs(boundary_psi), params.wrc_model),
+            params.wrc_model))
+    mean_k = compute_mean(k_bound, jnp.maximum(k, 1e-300), params.mean_type)
+    dh = grid.prescribed_h - h
+    presc_rate = mean_k * grid.bsize * dh / Lb
+
+    rate = jnp.zeros_like(h)
+    rate = jnp.where(bt == BoundaryType.RUNOFF, runoff_rate, rate)
+    rate = jnp.where(bt == BoundaryType.FREE_DRAINAGE, fd_rate, rate)
+    rate = jnp.where(bt == BoundaryType.FREE_LATERAL_DRAINAGE, fld_rate, rate)
+    rate = jnp.where(bt == BoundaryType.PRESCRIBED_TOTAL_POTENTIAL, presc_rate, rate)
+    # Urban / Road boundary nodes carry no boundary flow (they only modulate
+    # infiltration, water.cpp:503-513); reference default branch leaves rate 0.
+
+    rate = jnp.where(jnp.abs(rate) < DBL_EPSILON, 0.0, rate)
+    rate = jnp.where(grid.mask, rate, 0.0)
+    return flow + rate, rate
+
+
+def compute_capacity(grid: Grid, params: SolverParameters,
+                     h: jax.Array, h_old: jax.Array, se: jax.Array
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Capacity vector C [m2] and refreshed conductivity K [m s-1].
+
+    Surface capacity = cell area (free-surface storage, cpusolver.cpp:151);
+    soil capacity = volume × dTheta/dH (water.cpp:279-297).
+    """
+    k = mualem_conductivity(grid.soil, se, params.wrc_model)
+    k = jnp.where(grid.mask, k, 0.0).at[0].set(0.0)
+
+    dtdh = dtheta_dh(grid.soil, h, h_old, grid.z, params.wrc_model)
+    cap = grid.volume * dtdh
+    cap = cap.at[0].set(grid.volume[0])
+    cap = jnp.where(grid.mask, cap, 1.0)
+    return cap, k
+
+
+def _vertical_conductance(grid: Grid, params: SolverParameters,
+                          h: jax.Array, h_old: jax.Array, k: jax.Array,
+                          water_flow: jax.Array, dt: jax.Array) -> jax.Array:
+    """a_up[l]: conductance of the link (l, l-1). a_up[0] = 0.
+
+    l >= 2: vertical redistribution (water.cpp:542-562);
+    l == 1: surface-soil infiltration (water.cpp:490-539).
+    """
+    L = grid.n_layers
+    avg_h = 0.5 * (h + h_old)
+
+    # redistribution: logarithmic-mean K × area / dz
+    k_above = jnp.roll(k, 1, axis=0)  # k[l-1]; wrapped l=0 row is masked out
+    mean_k = compute_mean(jnp.maximum(k, 1e-300), jnp.maximum(k_above, 1e-300),
+                          params.mean_type)
+    dist = jnp.where(grid.vert_dist > 0, grid.vert_dist, 1.0)
+    a_redist = mean_k * grid.area / dist
+
+    # infiltration (link 0-1)
+    dist01 = grid.vert_dist[1, 0, 0]
+    bt1 = grid.btype[1]
+    bf = jnp.where(bt1 == BoundaryType.URBAN, 0.33,
+                   jnp.where(bt1 == BoundaryType.ROAD, 0.0, 1.0))
+    ksat1 = grid.soil.k_sat[1]
+    sat_val = ksat1 * bf * grid.area / dist01
+
+    surf_h = avg_h[0]
+    soil_h = avg_h[1]
+    surface_water = jnp.maximum(surf_h - grid.z[0], 0.0)
+    sbf = water_flow[0]
+    surface_water = jnp.where(
+        sbf < 0, jnp.maximum(0.0, surface_water + sbf * dt / grid.volume[0]),
+        surface_water)
+    max_inf_rate = surface_water / dt
+    dh = jnp.maximum(surf_h - soil_h, 1e-12)
+    max_k = max_inf_rate * dist01 / dh
+    mean_k01 = compute_mean(ksat1, jnp.maximum(k[1], 1e-300), params.mean_type)
+    unsat_val = jnp.where(max_inf_rate < MIN_INFILTRATION_RATE, 0.0,
+                          jnp.minimum(bf * mean_k01, max_k) * grid.area / dist01)
+    infil = jnp.where(h[1] > grid.z[0], sat_val, unsat_val)
+
+    layer_idx = jnp.arange(L).reshape(L, 1, 1)
+    a_up = jnp.where(layer_idx >= 2, a_redist, 0.0)
+    if L > 1:
+        a_up = a_up.at[1].set(infil)
+
+    link_ok = grid.mask & jnp.roll(grid.mask, 1, axis=0)
+    link_ok = link_ok.at[0].set(False)
+    return jnp.where(link_ok, a_up, 0.0)
+
+
+def _lateral_conductances(grid: Grid, params: SolverParameters,
+                          h: jax.Array, h_old: jax.Array, k: jax.Array,
+                          water_flow: jax.Array, pond: jax.Array,
+                          approx_is_first: jax.Array, dt: jax.Array
+                          ) -> tuple[jax.Array, jax.Array]:
+    """(a_lat[8], courant_max): lateral link conductances.
+
+    Layer 0: Manning diffusive-wave runoff conductance with Courant tracking
+    (runoffConductance, water.cpp:413-487); layers >= 1: anisotropic lateral
+    redistribution (water.cpp:542-562, lateral K × lateralVerticalRatio,
+    3-D node distance).
+    """
+    lvr = params.lateral_vertical_ratio
+    avg_h = 0.5 * (h + h_old)
+
+    # surface quantities with the approx-0 rainfall predictor (water.cpp:423-431)
+    h_surf = avg_h[0] + jnp.where(
+        approx_is_first & (water_flow[0] > 0),
+        0.5 * water_flow[0] * dt / grid.volume[0], 0.0)
+    z_pond = grid.z[0] + pond
+    rough = grid.roughness
+
+    k_soil = jnp.maximum(k * lvr, 1e-300)
+
+    a_list = []
+    courant = jnp.zeros((), h.dtype)
+    for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+        nbr_ok = shift2d(grid.mask, di, dj, fill=False)
+
+        # --- soil lateral redistribution ---
+        k_nbr = jnp.maximum(shift2d(k, di, dj) * lvr, 1e-300)
+        mean_k = compute_mean(k_soil, k_nbr, params.mean_type)
+        dist3d = grid.lat_dist3d[idx]        # (R,C), layer independent
+        a_soil = mean_k * grid.lat_area / dist3d
+
+        # --- surface runoff conductance ---
+        hi = h_surf
+        hj = shift2d(h_surf, di, dj)
+        zi = z_pond
+        zj = shift2d(z_pond, di, dj)
+        hs = jnp.maximum(hi, hj) - jnp.maximum(zi, zj)
+        dxy = grid.lat_dist2d[idx, 0, 0]
+        rough_ij = 0.5 * (rough + shift2d(rough, di, dj))
+        hs23 = jnp.maximum(hs, 0.0) ** (2.0 / 3.0)
+        a_surface = (grid.lat_area[0, 0, 0] * hs) * hs23 / (rough_ij * dxy)
+        invalid = (hs <= EPSILON_METER) | (rough_ij <= 0.0)
+        a_surface = jnp.where(invalid, 0.0, a_surface)
+
+        # Courant: Manning velocity × dt / dx
+        dh_ij = jnp.abs(hi - hj)
+        slope = jnp.where(dh_ij > EPSILON_METER, dh_ij / dxy, 0.0)
+        v = hs23 * jnp.sqrt(slope) / rough_ij
+        cour = jnp.where(invalid | ~nbr_ok[0] | ~grid.mask[0], 0.0, v * dt / dxy)
+        courant = jnp.maximum(courant, jnp.max(cour))
+
+        a = a_soil.at[0].set(a_surface)
+        a = jnp.where(grid.mask & nbr_ok, a, 0.0)
+        a_list.append(a)
+
+    return jnp.stack(a_list), courant
+
+
+def assemble_system(grid: Grid, params: SolverParameters,
+                    h: jax.Array, h_old: jax.Array, k: jax.Array,
+                    water_flow: jax.Array, capacity: jax.Array,
+                    pond: jax.Array, approx: jax.Array, dt: jax.Array
+                    ) -> LinearSystem:
+    """Build the Jacobi-preconditioned linear system for one Picard iteration.
+
+    (C/dt + sum_j a_ij) H_i - sum_j a_ij H_j = C/dt H_i^0 + Q_i
+    Reference: computeLinearSystemElement + computeDiagonalElement +
+    preconditioningMatrix (cpusolver.cpp:335-389, 284-305).
+    """
+    a_up = _vertical_conductance(grid, params, h, h_old, k, water_flow, dt)
+    a_lat, courant = _lateral_conductances(
+        grid, params, h, h_old, k, water_flow, pond, approx == 0, dt)
+
+    # a_down[l] = a_up[l+1] (same link seen from above)
+    a_down = jnp.roll(a_up, -1, axis=0).at[-1].set(0.0)
+
+    sum_a = a_up + a_down + jnp.sum(a_lat, axis=0)
+    diag = capacity / dt + sum_a
+    diag = jnp.where(grid.mask, diag, 1.0)
+
+    b = (capacity / dt) * h_old + water_flow
+    b = jnp.where(grid.mask, b, 0.0)
+
+    inv_diag = 1.0 / diag
+    return LinearSystem(
+        b=b * inv_diag,
+        c_up=a_up * inv_diag,
+        c_down=a_down * inv_diag,
+        c_lat=a_lat * inv_diag[None],
+        diag=diag,
+        courant=courant,
+    )
+
+
+def jacobi_sweep(system: LinearSystem, x: jax.Array, grid: Grid,
+                 n_nodes: int) -> tuple[jax.Array, jax.Array]:
+    """One Jacobi iteration; returns (x_new, psi-weighted mean |dx| norm).
+
+    Reference: JacobiWaterCPU (water.cpp:565-601) — including the surface
+    clamp x >= z and the 1/psi norm weighting for |psi| > 1.
+    """
+    acc = system.b
+    acc = acc + system.c_up * jnp.roll(x, 1, axis=0)
+    acc = acc + system.c_down * jnp.roll(x, -1, axis=0)
+    for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+        acc = acc + system.c_lat[idx] * shift2d(x, di, dj)
+
+    x_new = acc.at[0].set(jnp.maximum(acc[0], grid.z[0]))
+    x_new = jnp.where(grid.mask, x_new, 0.0)
+
+    dx = jnp.abs(x_new - x)
+    psi = jnp.abs(x_new - grid.z)
+    weight = jnp.where(psi > 1.0, 1.0 / psi, 1.0)
+    norm = jnp.sum(jnp.where(grid.mask, dx * weight, 0.0)) / n_nodes
+    return x_new, norm
+
+
+def current_mass_balance(grid: Grid, params: SolverParameters,
+                         h: jax.Array, se: jax.Array, water_flow: jax.Array,
+                         prev_storage: jax.Array, dt: jax.Array):
+    """(storage, sink_source_sum, MBE, MBR) for the current step.
+
+    Reference: computeCurrentMassBalance (water.cpp:96-123).
+    """
+    storage = total_water_content(grid, params, h, se)
+    delta_storage = storage - prev_storage
+    sink = jnp.sum(jnp.where(grid.mask, water_flow, 0.0)) * dt
+    mbe = delta_storage - sink
+
+    time_pct = 0.001 * jnp.maximum(dt, 30.0) / 3600.0
+    min_ref = jnp.maximum(storage * time_pct, 0.001)
+    ref_water = jnp.maximum(jnp.abs(sink), min_ref)
+    mbr = mbe / ref_water
+    return storage, sink, mbe, mbr

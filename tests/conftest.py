@@ -1,0 +1,19 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding tests use
+``xla_force_host_platform_device_count`` (the approach the driver's
+``dryrun_multichip`` also uses). The environment may pin JAX to a remote TPU
+backend via sitecustomize, so we must force the CPU platform through
+jax.config (env vars alone are overridden).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
