@@ -1,0 +1,77 @@
+"""Multi-chip domain decomposition: 2-D (row, col) sharding over a Mesh.
+
+The reference has no distributed capability (SURVEY.md §2.7); its scaling
+dimension is spatial domain size handled by OpenMP/CUDA in shared memory.
+Here the same dimension becomes SPMD: every (L, R, C) field is sharded over a
+('row', 'col') device mesh with the layer axis local, lateral stencil shifts
+lower to halo exchanges (collective-permute) and the solver's scalar
+reductions (mass balance, Courant max, Jacobi norm) become cross-chip
+all-reduces — inserted automatically by XLA SPMD from the sharding
+annotations (GSPMD; the "How to Scale Your Model" recipe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_pytree", "replicate_pytree"]
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """A ('row', 'col') mesh, factorising the device count as square as possible."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    rows = int(np.floor(np.sqrt(n)))
+    while n % rows != 0:
+        rows -= 1
+    cols = n // rows
+    dev_array = np.asarray(devices).reshape(rows, cols)
+    return Mesh(dev_array, ("row", "col"))
+
+
+def _spec_for(leaf, mesh: Mesh) -> P:
+    """Shard the trailing two dims when they are divisible by the mesh;
+    replicate small / per-layer / scalar leaves."""
+    shape = getattr(leaf, "shape", ())
+    if len(shape) < 2:
+        return P()
+    r, c = shape[-2], shape[-1]
+    mr = mesh.shape["row"]
+    mc = mesh.shape["col"]
+    if r % mr != 0 or c % mc != 0 or r < mr or c < mc:
+        return P()
+    lead = (None,) * (len(shape) - 2)
+    return P(*lead, "row", "col")
+
+
+def shard_pytree(tree, mesh: Mesh):
+    """device_put every leaf with its (row, col) sharding."""
+    return jax.tree.map(
+        lambda leaf: jax.device_put(
+            leaf, NamedSharding(mesh, _spec_for(leaf, mesh))), tree)
+
+
+def replicate_pytree(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree)
+
+
+def pad_to_multiple(dem: np.ndarray, multiple_r: int, multiple_c: int,
+                    nodata: float = -9999.0) -> np.ndarray:
+    """Pad a DEM with nodata so (R, C) divide the mesh shape.
+
+    Masked-out cells cost nothing in the solver, so padding to a shardable
+    shape is free accuracy-wise.
+    """
+    R, C = dem.shape
+    pr = (-R) % multiple_r
+    pc = (-C) % multiple_c
+    if pr == 0 and pc == 0:
+        return dem
+    return np.pad(dem, ((0, pr), (0, pc)), constant_values=nodata)

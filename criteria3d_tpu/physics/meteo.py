@@ -1,0 +1,140 @@
+"""Psychrometrics and reference evapotranspiration (ET0).
+
+Vectorised re-implementation of the reference's physics helpers
+(agrolib/mathFunctions/physics.cpp) and ET0 formulas
+(agrolib/meteo/meteo.cpp:469-700): Penman-Monteith hourly (CIMIS form) and
+Hargreaves daily. All functions are elementwise jnp and accept arrays of any
+shape (e.g. the whole meteo map at once).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from criteria3d_tpu.constants import (GRAVITY, HOUR_SECONDS, STEFAN_BOLTZMANN,
+                                      ZEROCELSIUS)
+
+__all__ = [
+    "saturation_vapor_pressure", "saturation_slope", "pressure_from_altitude",
+    "latent_heat_vaporization", "psychrometric_constant", "air_density",
+    "vapor_concentration_from_pressure", "et0_penman_hourly",
+    "et0_hargreaves_daily",
+]
+
+# physics.cpp / commonConstants.h values
+P0 = 101325.0              # [Pa] sea-level standard pressure
+TP0 = 293.16               # [K]
+LAPSE_RATE_MOIST_AIR = 0.0065   # [K m-1]
+R_DRY_AIR = 287.058        # [J kg-1 K-1]
+R_GAS = 8.31447215         # [J K-1 mol-1]
+M_AIR = 0.029              # [kg mol-1]
+CP = 1013.0                # [J kg-1 K-1] specific heat of moist air
+RATIO_WATER_VD = 0.622
+ALBEDO_CROP_REFERENCE = 0.23
+
+
+def saturation_vapor_pressure(t_celsius):
+    """[Pa] Tetens form (physics.cpp:118-121)."""
+    return 611.0 * jnp.exp(17.502 * t_celsius / (t_celsius + 240.97))
+
+
+def saturation_slope(t_celsius, sat_vp_kpa):
+    """[kPa degC-1] slope of the saturation curve (physics.cpp:130-133)."""
+    return 4098.0 * sat_vp_kpa / ((237.3 + t_celsius) ** 2)
+
+
+def pressure_from_altitude(height_m):
+    """[Pa] barometric pressure (Allen et al. 1994; physics.cpp:39-47)."""
+    return P0 * (1.0 + height_m * LAPSE_RATE_MOIST_AIR / TP0) ** (
+        -GRAVITY / (LAPSE_RATE_MOIST_AIR * R_DRY_AIR))
+
+
+def latent_heat_vaporization(t_celsius):
+    """[J kg-1] (physics.cpp:149-152)."""
+    return 2501000.0 - 2369.2 * t_celsius
+
+
+def psychrometric_constant(pressure_kpa, t_celsius):
+    """[kPa degC-1] (physics.cpp:161-164)."""
+    return CP * pressure_kpa / (RATIO_WATER_VD * latent_heat_vaporization(t_celsius))
+
+
+def air_density(t_kelvin, pressure_pa=P0):
+    """[kg m-3] dry-air ideal gas."""
+    return pressure_pa / (R_DRY_AIR * t_kelvin)
+
+
+def vapor_concentration_from_pressure(vp_pa, t_kelvin):
+    """[kg m-3] vapor concentration from partial pressure (physics.cpp)."""
+    return vp_pa * 0.018 / (R_GAS * t_kelvin)
+
+
+def emissivity_from_vapor_pressure(vp_kpa):
+    """Net emissivity (meteo.cpp:433-436)."""
+    return 0.34 - 0.14 * jnp.sqrt(vp_kpa)
+
+
+def et0_penman_hourly(height, normalized_transmissivity, global_irradiance,
+                      air_temp, air_hum, wind_speed_10):
+    """Hourly reference ET [mm h-1] (CIMIS Penman-Monteith).
+
+    Reference: ET0_Penman_hourly (meteo.cpp:550-610).
+
+    height [m asl]; normalized_transmissivity [0-1]; global_irradiance [W m-2];
+    air_temp [degC]; air_hum [%]; wind_speed_10 [m s-1 at 10 m].
+    """
+    es = saturation_vapor_pressure(air_temp) / 1000.0   # [kPa]
+    ea = air_hum * es / 100.0
+    emissivity = emissivity_from_vapor_pressure(ea)
+    t_air_k = air_temp + ZEROCELSIUS
+    sigma_h = STEFAN_BOLTZMANN * HOUR_SECONDS
+    cloud_factor = jnp.maximum(
+        0.0, 1.35 * jnp.minimum(normalized_transmissivity, 1.0) - 0.35)
+    net_lw = cloud_factor * emissivity * sigma_h * t_air_k ** 4
+    net_sw = HOUR_SECONDS * global_irradiance
+    net_rad = (1.0 - ALBEDO_CROP_REFERENCE) * net_sw - net_lw
+
+    positive = net_rad > 0
+    g = jnp.where(positive, 0.1 * net_rad, 0.5 * net_rad)
+    cd = jnp.where(positive, 0.24, 0.96)
+
+    delta = saturation_slope(air_temp, es)
+    pressure = pressure_from_altitude(height) / 1000.0
+    gamma = psychrometric_constant(pressure, air_temp)
+    lam = latent_heat_vaporization(air_temp)
+    wind2 = wind_speed_10 * 0.748
+
+    denom = delta + gamma * (1.0 + cd * wind2)
+    first = delta * (net_rad - g) / (lam * denom)
+    second = gamma * (37.0 / t_air_k) * wind2 * (es - ea) / denom
+    return jnp.maximum(first + second, 0.0)
+
+
+SOLAR_CONSTANT = 1367.0   # [W m-2]
+DAY_SECONDS = 86400.0
+
+
+def daily_extraterrestrial_radiation(latitude_deg, doy):
+    """[MJ m-2 d-1] FAO daily extraterrestrial radiation
+    (dailyExtrRadiation, meteo.cpp:335-355)."""
+    phi = jnp.pi / 180.0 * latitude_deg
+    delta = 0.4093 * jnp.sin(2.0 * jnp.pi / 365.0 * doy - 1.39)
+    dr = 1.0 + 0.033 * jnp.cos(2.0 * jnp.pi * doy / 365.0)
+    omega_s = jnp.arccos(jnp.clip(-jnp.tan(phi) * jnp.tan(delta), -1.0, 1.0))
+    return (SOLAR_CONSTANT * DAY_SECONDS / 1e6 * dr / jnp.pi
+            * (omega_s * jnp.sin(phi) * jnp.sin(delta)
+               + jnp.cos(phi) * jnp.cos(delta) * jnp.sin(omega_s)))
+
+
+def et0_hargreaves_daily(kt, latitude_deg, doy, t_max, t_min):
+    """Daily Hargreaves-Samani ET0 [mm d-1] (ET0_Hargreaves, meteo.cpp:682-697).
+
+    kt: Samani coefficient (default 0.17); latitude [deg]; doy: day of year.
+    """
+    ra = daily_extraterrestrial_radiation(latitude_deg, doy)
+    delta_t = jnp.maximum(jnp.abs(t_max - t_min), 0.25)
+    t_avg = 0.5 * (t_max + t_min)
+    # 2.456 MJ kg-1 latent heat of vaporization
+    return jnp.maximum(
+        0.0, 0.0135 * (t_avg + 17.78) * kt * (ra / 2.456) * jnp.sqrt(delta_t))

@@ -1,0 +1,64 @@
+"""Multi-device equivalence: the sharded step must match single-device results.
+
+Mirrors the reference's CPU-vs-GPU dual implementation pattern (SURVEY.md §4):
+here the oracle is the unsharded run, and the subject is the same jitted
+program with (row, col)-sharded inputs on the virtual 8-device CPU mesh.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from criteria3d_tpu import (Grid, SoilFields, SolverParameters, WaterState,
+                            compute_period, compute_step)
+from criteria3d_tpu.parallel.sharding import make_mesh, shard_pytree
+from criteria3d_tpu.solver.step import initialize_balance
+from tests.test_catchment3d import valley_dem
+
+
+def build_case(n=16):
+    dem = valley_dem(n)
+    soil = SoilFields.uniform(dem.shape, vg_alpha=1.2, vg_n=1.5, vg_he=0.02,
+                              theta_s=0.41, theta_r=0.04, k_sat=5e-6)
+    grid = Grid.build(dem, 10.0, soil, total_depth=0.6)
+    params = SolverParameters()
+    state = WaterState.initialize(grid, params, matric_potential=-1.0)
+    state = initialize_balance(grid, params, state)
+    rain = 0.020 * float(grid.area) / 3600.0
+    sink = jnp.zeros_like(state.sink_source)
+    sink = sink.at[0].set(jnp.where(grid.mask[0], rain, 0.0))
+    state = dataclasses.replace(state, sink_source=sink)
+    return grid, params, state
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_matches_single_device():
+    grid, params, state = build_case(16)
+
+    ref_state, ref_dt = compute_step(grid, params, state, 3600.0)
+
+    mesh = make_mesh(8)
+    grid_s = shard_pytree(grid, mesh)
+    state_s = shard_pytree(state, mesh)
+    out_state, out_dt = compute_step(grid_s, params, state_s, 3600.0)
+
+    np.testing.assert_allclose(np.asarray(out_state.h), np.asarray(ref_state.h),
+                               rtol=0, atol=1e-9)
+    assert float(out_dt) == pytest.approx(float(ref_dt))
+    # balance scalars agree (cross-chip psum vs local sum)
+    assert float(out_state.balance_current.mbr) == pytest.approx(
+        float(ref_state.balance_current.mbr), abs=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_period_mass_closure():
+    grid, params, state = build_case(16)
+    mesh = make_mesh(8)
+    grid_s = shard_pytree(grid, mesh)
+    state_s = shard_pytree(state, mesh)
+
+    out = compute_period(grid_s, params, state_s, 1800.0)
+    assert abs(float(out.balance_whole.mbr)) < 5e-3
