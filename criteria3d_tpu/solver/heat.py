@@ -1,0 +1,498 @@
+"""Coupled soil heat transport: diffusion + latent (vapor) + advective terms.
+
+TPU re-expression of agrolib/soilFluxes3D/heat.cpp: Crank-Nicolson-weighted
+conduction on the same stencil as the water solver, the de Vries/Campbell
+soil thermal conductivity, Philip-de Vries vapor conductivities, the
+atmospheric surface energy balance boundary (radiative + sensible + latent +
+advective, heat.cpp:237-330) and heat-Courant sub-stepping
+(heat.cpp:258-341, cpusolver.cpp:471-605).
+
+The reference's Gauss-Seidel inner solver (GaussSeidelHeatCPU, heat.cpp:666)
+is sequential; here the same preconditioned system is solved with Jacobi
+sweeps (identical fixed point, parallel on TPU) under the reference's
+iteration budget.
+
+Heat state lives on subsurface nodes only (isHeatNode, heat.cpp:26-29);
+surface nodes carry no temperature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from criteria3d_tpu.constants import (GRAVITY, MH2O, R_GAS, WATER_DENSITY,
+                                      ZEROCELSIUS, VON_KARMAN)
+from criteria3d_tpu.core.grid import BoundaryType, Grid
+from criteria3d_tpu.core.soil import compute_mean, MeanType, theta_from_se, se_from_psi
+from criteria3d_tpu.core.state import SolverParameters, WaterState
+from criteria3d_tpu.solver.shifts import LATERAL_OFFSETS, shift2d
+
+__all__ = ["HeatState", "HeatBoundary", "heat_capacity", "soil_thermal_conductivity",
+           "heat_step", "initialize_heat"]
+
+# commonConstants.h values used by the heat process
+MINERAL_HK = 2.5                 # [W m-1 K-1] thermal conductivity of minerals
+QUARTZ_DENSITY = 2.648           # [Mg m-3]
+HEAT_CAPACITY_MINERAL = 231000.0  # [J Mg-1 ... ] as used: (bulk/quartz)*HCmineral
+HEAT_CAPACITY_WATER = 4182000.0  # [J m-3 K-1]
+HEAT_CAPACITY_AIR = 1290.0       # [J m-3 K-1]
+HEAT_CAPACITY_WATER_VAPOR = 1996.0  # [J kg-1 K-1]
+HEAT_CAPACITY_AIR_MOLAR = 29.31  # [J mol-1 K-1]
+VAPOR_DIFFUSIVITY0 = 2.12e-5     # [m2 s-1]
+GAMMA0 = 71.89                   # [g s-2] surface tension at 25 degC
+THETAMIN = 0.15
+P0 = 101325.0
+TP0 = 293.16
+LAPSE_RATE_MOIST_AIR = 0.0065
+R_DRY_AIR = 287.058
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HeatState:
+    """Subsurface temperature state, (L, R, C); layer 0 unused."""
+
+    t: jax.Array            # [K]
+    t_old: jax.Array        # [K]
+    sink_source: jax.Array  # [W]
+    # balance scalars
+    storage_prev: jax.Array
+    storage_whole: jax.Array
+    sink_whole: jax.Array
+    mbr: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HeatBoundary:
+    """Atmospheric forcing on HeatSurface nodes (boundaryData_t heat part,
+    types.h:230-248). All (R, C) maps (applied to the first soil layer)."""
+
+    mask: jax.Array            # bool: node has an atmospheric heat boundary
+    air_temperature: jax.Array  # [K]
+    rel_humidity: jax.Array     # [%]
+    wind_speed: jax.Array       # [m s-1]
+    net_irradiance: jax.Array   # [W m-2]
+    height_wind: jax.Array      # [m]
+    height_temperature: jax.Array  # [m]
+    roughness_height: jax.Array    # [m]
+
+    @staticmethod
+    def uniform(shape, *, air_temperature=288.15, rel_humidity=60.0,
+                wind_speed=2.0, net_irradiance=0.0, height_wind=10.0,
+                height_temperature=2.0, roughness_height=0.01,
+                mask=None, dtype=jnp.float64) -> "HeatBoundary":
+        f = lambda v: jnp.full(shape, v, dtype)
+        if mask is None:
+            mask = jnp.ones(shape, bool)
+        return HeatBoundary(mask=mask, air_temperature=f(air_temperature),
+                            rel_humidity=f(rel_humidity), wind_speed=f(wind_speed),
+                            net_irradiance=f(net_irradiance),
+                            height_wind=f(height_wind),
+                            height_temperature=f(height_temperature),
+                            roughness_height=f(roughness_height))
+
+
+def initialize_heat(grid: Grid, temperature_k, dtype=jnp.float64) -> HeatState:
+    t = jnp.broadcast_to(jnp.asarray(temperature_k, dtype), grid.shape)
+    t = jnp.where(grid.mask, t, ZEROCELSIUS)
+    zero = jnp.zeros((), dtype)
+    return HeatState(t=t, t_old=t, sink_source=jnp.zeros(grid.shape, dtype),
+                     storage_prev=zero, storage_whole=zero, sink_whole=zero,
+                     mbr=zero)
+
+
+# ----------------------------------------------------------------------
+# material properties (heat.cpp:700-1250)
+# ----------------------------------------------------------------------
+
+def pressure_from_altitude(z):
+    return P0 * (1.0 + z * LAPSE_RATE_MOIST_AIR / TP0) ** (
+        -GRAVITY / (LAPSE_RATE_MOIST_AIR * R_DRY_AIR))
+
+
+def saturation_vapor_pressure(t_c):
+    return 611.0 * jnp.exp(17.502 * t_c / (t_c + 240.97))
+
+
+def vapor_concentration_from_pressure(p, t_k):
+    return p * MH2O / (R_GAS * t_k)
+
+
+def soil_relative_humidity(h, t_k):
+    """Kelvin equation (heat.cpp:1143-1146); h = matric potential [m]."""
+    return jnp.exp(MH2O * h * GRAVITY / (R_GAS * t_k))
+
+
+def vapor_from_psi_temp(h, t_k):
+    svp = saturation_vapor_pressure(t_k - ZEROCELSIUS)
+    return vapor_concentration_from_pressure(svp, t_k) * soil_relative_humidity(h, t_k)
+
+
+def latent_vaporization_heat(t_c):
+    return 2501000.0 - 2369.2 * t_c
+
+
+def air_molar_density(pressure, t_k):
+    return 44.65 * (pressure / P0) * (ZEROCELSIUS / t_k)
+
+
+def air_volumetric_specific_heat(pressure, t_k):
+    return HEAT_CAPACITY_AIR_MOLAR * air_molar_density(pressure, t_k)
+
+
+def vapor_binary_diffusivity(t_k):
+    return VAPOR_DIFFUSIVITY0 * (t_k / ZEROCELSIUS) ** 2
+
+
+def soil_vapor_diffusivity(theta_s, theta, t_k):
+    """Penman 1940 (heat.cpp:1124-1135)."""
+    return vapor_binary_diffusivity(t_k) * 0.66 * jnp.maximum(theta_s - theta, 0.0)
+
+
+def soil_surface_resistance(theta_top):
+    """Van De Griend & Owe 1994 (heat.cpp:1152-1155) [s m-1]."""
+    return 10.0 * jnp.exp(0.3563 * (THETAMIN - theta_top) * 100.0)
+
+
+def estimate_bulk_density(grid: Grid):
+    """[Mg m-3] (heat.cpp:1040-1066, Driessen 1986). Organic matter defaults
+    to 0.02 as the reference does for missing data."""
+    om = 0.02
+    particle_density = 1.0 / ((1.0 - om) / QUARTZ_DENSITY + om / 1.43)
+    return (1.0 - grid.soil.theta_s) * particle_density
+
+
+def theta_from_signed_psi(grid: Grid, params: SolverParameters, h_signed):
+    """computeNodeTheta_fromSignedPsi (soilPhysics.cpp:50-61)."""
+    se = jnp.where(h_signed >= 0, 1.0,
+                   se_from_psi(grid.soil, jnp.abs(h_signed), params.wrc_model))
+    return theta_from_se(grid.soil, se)
+
+
+def water_return_flow_factor(theta, t_k, clay):
+    """Campbell 1994 (heat.cpp:1084-1100)."""
+    wc0 = 0.078 + 0.33 * clay
+    q = (2.52 + 7.25 * clay) * (t_k / 303.0) ** 2
+    ratio = jnp.maximum(theta / wc0, 1e-12)
+    f = 1.0 / (1.0 + ratio ** -q)
+    return jnp.where(theta < 0.01 * wc0, 0.0, f)
+
+
+def thermal_vapor_conductivity(grid: Grid, params: SolverParameters, t_k, h):
+    """[kg m-1 s-1 K-1] (heat.cpp:783-830, Cass et al. 1984 enhancement)."""
+    t_c = t_k - ZEROCELSIUS
+    pressure = pressure_from_altitude(grid.z)
+    theta = theta_from_signed_psi(grid, params, h)
+    v_diff = soil_vapor_diffusivity(grid.soil.theta_s, theta, t_k)
+    svp = saturation_vapor_pressure(t_c)
+    svp_slope = 4098.0 * (svp / 1000.0) / ((237.3 + t_c) ** 2)  # [kPa/degC]
+    svc_slope = svp_slope * MH2O * air_molar_density(pressure, t_k) / pressure
+    v_conc = vapor_from_psi_temp(h, t_k)
+    v_press = v_conc * R_GAS * t_k / MH2O
+    rh = v_press / svp
+    sat_degree = theta / grid.soil.theta_s
+    clay = jnp.maximum(_clay(grid), 1e-3)
+    eta = 9.5 + 3.0 * sat_degree - 8.5 * jnp.exp(
+        -((1.0 + 2.6 / jnp.sqrt(clay)) * sat_degree) ** 4)
+    return eta * v_diff * svc_slope * rh
+
+
+def isothermal_vapor_conductivity(grid: Grid, params: SolverParameters, t_k, h):
+    """[kg s m-3] (heat.cpp:832-855)."""
+    theta = theta_from_signed_psi(grid, params, h)
+    v_diff = soil_vapor_diffusivity(grid.soil.theta_s, theta, t_k)
+    v_conc = vapor_from_psi_temp(h, t_k)
+    return v_diff * v_conc * MH2O / (R_GAS * t_k)
+
+
+def _clay(grid: Grid):
+    # clay fraction is not yet a SoilFields member; default silty-loam value
+    return jnp.full_like(grid.soil.theta_s, 0.2)
+
+
+def soil_thermal_conductivity(grid: Grid, params: SolverParameters, t_k, h,
+                              with_vapor: bool = False):
+    """de Vries weighted mixture [W m-1 K-1] (heat.cpp:700-756)."""
+    t_c = t_k - ZEROCELSIUS
+    w_frac = theta_from_signed_psi(grid, params, h)
+    s_frac = 1.0 - grid.soil.theta_s
+    a_frac = jnp.maximum(grid.soil.theta_s - w_frac, 0.0)
+
+    f_ret = water_return_flow_factor(w_frac, t_k, _clay(grid))
+    k_w = 0.554 + 0.0024 * t_c - 0.00000987 * t_c ** 2
+    k_a = 0.024 + 0.0000773 * t_c - 0.000000026 * t_c ** 2
+    if with_vapor:
+        k_a = k_a + latent_vaporization_heat(t_c) * thermal_vapor_conductivity(
+            grid, params, t_k, h)
+    k_f = k_a + f_ret * (k_w - k_a)
+
+    ga = 0.088
+    gc = 1.0 - 2.0 * ga
+
+    def weight(k):
+        r = k / k_f - 1.0
+        return (2.0 / (1.0 + r * ga) + 1.0 / (1.0 + r * gc)) / 3.0
+
+    wa, ww, ws = weight(k_a), weight(k_w), weight(MINERAL_HK)
+    return ((w_frac * ww * k_w + a_frac * wa * k_a + s_frac * ws * MINERAL_HK)
+            / (ww * w_frac + wa * a_frac + ws * s_frac))
+
+
+def heat_capacity(grid: Grid, params: SolverParameters, h, t_k,
+                  with_vapor: bool = False):
+    """Volumetric heat capacity [J m-3 K-1] (heat.cpp:857-877)."""
+    theta = theta_from_signed_psi(grid, params, h)
+    bulk = estimate_bulk_density(grid)
+    hc = (bulk / QUARTZ_DENSITY) * HEAT_CAPACITY_MINERAL + theta * HEAT_CAPACITY_WATER
+    if with_vapor:
+        v_theta = vapor_from_psi_temp(h, t_k) / WATER_DENSITY \
+            * jnp.maximum(grid.soil.theta_s - theta, 0.0)
+        hc = hc + v_theta * HEAT_CAPACITY_AIR
+    return hc
+
+
+# ----------------------------------------------------------------------
+# atmospheric surface boundary (heat.cpp:879-1035)
+# ----------------------------------------------------------------------
+
+def aerodynamic_conductance(boundary: HeatBoundary, surface_t_k):
+    """Monin-Obukhov iterative conductance [m s-1]
+    (computeNodeAerodynamicConductance, heat.cpp:879-950)."""
+    zero_plane = 0.77 * boundary.roughness_height
+    r_mom = 0.13 * boundary.roughness_height
+    r_heat = 0.2 * r_mom
+    wind = jnp.maximum(boundary.wind_speed, 0.01)
+    t_air = boundary.air_temperature
+    ch = air_volumetric_specific_heat(
+        pressure_from_altitude(boundary.height_wind), t_air)
+
+    def body(_, carry):
+        psi_m, psi_h = carry
+        u_star = VON_KARMAN * wind / (
+            jnp.log((boundary.height_wind - zero_plane + r_mom) / r_mom) + psi_m)
+        k = VON_KARMAN * u_star / (
+            jnp.log((boundary.height_temperature - zero_plane + r_heat) / r_heat)
+            + psi_h)
+        h_flux = k * ch * (surface_t_k - t_air)
+        sp = -VON_KARMAN * boundary.height_wind * GRAVITY * h_flux \
+            / (ch * t_air * u_star ** 3)
+        psi_h_new = jnp.where(sp > 0, 6.0 * jnp.log(1.0 + jnp.maximum(sp, 0.0)),
+                              -2.0 * jnp.log((1.0 + jnp.sqrt(1.0 - 16.0
+                                              * jnp.minimum(sp, 0.0))) / 2.0))
+        psi_m_new = jnp.where(sp > 0, psi_h_new, 0.6 * psi_h_new)
+        return psi_m_new, psi_h_new
+
+    psi_m, psi_h = lax.fori_loop(
+        0, 20, body, (jnp.zeros_like(wind), jnp.zeros_like(wind)))
+    u_star = VON_KARMAN * wind / (
+        jnp.log((boundary.height_wind - zero_plane + r_mom) / r_mom) + psi_m)
+    return VON_KARMAN * u_star / (
+        jnp.log((boundary.height_temperature - zero_plane + r_heat) / r_heat)
+        + psi_h)
+
+
+def update_boundary_heat(grid: Grid, params: SolverParameters,
+                         heat: HeatState, boundary: HeatBoundary,
+                         water: WaterState, dt_max):
+    """Per-node heat flow [W] + Courant-limited dtHeat.
+
+    Mirrors updateBoundaryHeatData (heat.cpp:237-341): the HeatSurface nodes
+    (first soil layer under an atmosphere-exposed surface) receive
+    radiative + sensible (+ latent/advective when enabled) fluxes; returns
+    (heat_flow, dt_heat, boundary_fluxes_dict).
+    """
+    L = grid.n_layers
+    flow = jnp.where(grid.mask, heat.sink_source, 0.0).at[0].set(0.0)
+
+    # HeatSurface = layer-1 nodes with an atmosphere boundary
+    hs_mask = boundary.mask & grid.mask[1] if L > 1 else boundary.mask
+
+    t_surf = heat.t[1]
+    aero_k = aerodynamic_conductance(boundary, t_surf)
+
+    pressure = pressure_from_altitude(grid.z[1])
+    delta_t = boundary.air_temperature - t_surf
+    sensible = air_volumetric_specific_heat(pressure, boundary.air_temperature) \
+        * delta_t * aero_k
+    radiative = boundary.net_irradiance
+
+    up_area = grid.area
+    flux_sum = (radiative + sensible) * up_area
+    flow = flow.at[1].set(jnp.where(hs_mask, flow[1] + flux_sum, flow[1]))
+
+    # heat Courant: |flux| dt / (C * V) <= 1 (heat.cpp:292-341)
+    avg_h = water.h_old[1] - grid.z[1]
+    cap = heat_capacity(grid, params, avg_h, heat.t_old[1])
+    courant = jnp.where(hs_mask,
+                        jnp.abs(flow[1]) * dt_max / (cap * grid.volume[1]),
+                        0.0)
+    courant_max = jnp.max(courant)
+
+    dt_heat = jnp.where(
+        (courant_max > 1.0) & (dt_max > params.delta_t_min),
+        jnp.maximum(params.delta_t_min, dt_max / jnp.maximum(courant_max, 1e-12)),
+        dt_max)
+    dt_heat = jnp.where(dt_heat > 1.0, jnp.floor(dt_heat), dt_heat)
+
+    return flow, dt_heat, dict(sensible=sensible, radiative=radiative,
+                               aerodynamic_conductance=aero_k)
+
+
+# ----------------------------------------------------------------------
+# conduction assembly + solve (cpusolver.cpp:471-605)
+# ----------------------------------------------------------------------
+
+def _node_h_from_timesteps(water: WaterState, dt_heat, dt_water):
+    """getNodeH_fromTimeSteps (heat.cpp:694-698)."""
+    return water.h_old + (water.h - water.h_old) * dt_heat / dt_water
+
+
+class HeatSystem(NamedTuple):
+    b: jax.Array
+    c_up: jax.Array
+    c_down: jax.Array
+    c_lat: jax.Array
+    diag: jax.Array
+    heat_mask: jax.Array
+
+
+def _conduction_coeffs(grid: Grid, params: SolverParameters, heat: HeatState,
+                       avg_h_signed, k_thermal):
+    """a = area/dist * logmean(K_i, K_j) on every soil-soil link."""
+    heat_mask = grid.mask.at[0].set(False)
+
+    # vertical
+    k_above = jnp.roll(k_thermal, 1, axis=0)
+    mean_kv = compute_mean(jnp.maximum(k_thermal, 1e-12),
+                           jnp.maximum(k_above, 1e-12), MeanType.LOGARITHMIC)
+    dist = jnp.where(grid.vert_dist > 0, grid.vert_dist, 1.0)
+    a_up = mean_kv * grid.area / dist
+    link_ok = heat_mask & jnp.roll(heat_mask, 1, axis=0)
+    link_ok = link_ok.at[0].set(False).at[1].set(False)  # layer1 has no soil above
+    a_up = jnp.where(link_ok, a_up, 0.0)
+    a_down = jnp.roll(a_up, -1, axis=0).at[-1].set(0.0)
+
+    # lateral
+    lat = []
+    for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+        nbr_ok = shift2d(heat_mask, di, dj, fill=False)
+        k_nbr = jnp.maximum(shift2d(k_thermal, di, dj), 1e-12)
+        mean_k = compute_mean(jnp.maximum(k_thermal, 1e-12), k_nbr,
+                              MeanType.LOGARITHMIC)
+        dist3d = grid.lat_dist3d[idx]
+        a = mean_k * grid.lat_area / dist3d
+        lat.append(jnp.where(heat_mask & nbr_ok, a, 0.0))
+    return a_up, a_down, jnp.stack(lat), heat_mask
+
+
+def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
+              boundary: HeatBoundary, water: WaterState,
+              dt_heat, dt_water) -> tuple[HeatState, jax.Array]:
+    """One heat sub-step of length dt_heat inside a water step of dt_water.
+
+    Mirrors CPUSolver::heatLoop (cpusolver.cpp:471-605). Returns
+    (new_state, mbr). The caller is responsible for sub-step sequencing.
+    """
+    wf = params.heat_weight_factor
+    heat_flow, _, _ = update_boundary_heat(grid, params, heat, boundary,
+                                           water, dt_heat)
+
+    node_h = _node_h_from_timesteps(water, dt_heat, dt_water)
+    avg_h = 0.5 * (water.h_old + node_h) - grid.z
+
+    cap = heat_capacity(grid, params, avg_h, heat.t) * grid.volume
+    k_thermal = soil_thermal_conductivity(grid, params, heat.t, avg_h)
+
+    a_up, a_down, a_lat, heat_mask = _conduction_coeffs(
+        grid, params, heat, avg_h, k_thermal)
+
+    # advected energy of the water-content change (cpusolver.cpp:500-518)
+    d_theta = theta_from_signed_psi(grid, params, node_h - grid.z) \
+        - theta_from_signed_psi(grid, params, water.h_old - grid.z)
+    heat_cap_corr = d_theta * HEAT_CAPACITY_WATER * heat.t * grid.volume
+
+    sum_a = a_up + a_down + jnp.sum(a_lat, axis=0)
+    diag = sum_a * wf + cap / dt_heat
+    diag = jnp.where(heat_mask, diag, 1.0)
+
+    # explicit part: sum_j a_ij (1-wf) (T0_j - T0_i)
+    t0 = heat.t_old
+    f0 = a_up * (jnp.roll(t0, 1, axis=0) - t0) \
+        + a_down * (jnp.roll(t0, -1, axis=0) - t0)
+    for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+        f0 = f0 + a_lat[idx] * (shift2d(t0, di, dj) - t0)
+    f0 = f0 * (1.0 - wf)
+
+    b = cap * t0 / dt_heat - heat_cap_corr / dt_heat + heat_flow + f0
+    b = jnp.where(heat_mask, b, 0.0)
+
+    inv_diag = jnp.where(diag > 0, 1.0 / diag, 1.0)
+    c_up = a_up * wf * inv_diag
+    c_down = a_down * wf * inv_diag
+    c_lat = a_lat * wf * inv_diag[None]
+    b_p = b * inv_diag
+
+    # Jacobi iterations with the reference budget (max approx -> full budget)
+    max_iter = params.max_iterations_for(params.max_approximations - 1)
+    tol = params.residual_tolerance
+
+    def sweep(x):
+        acc = b_p + c_up * jnp.roll(x, 1, axis=0) + c_down * jnp.roll(x, -1, axis=0)
+        for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+            acc = acc + c_lat[idx] * shift2d(x, di, dj)
+        x_new = jnp.where(heat_mask, acc, x)
+        norm = jnp.max(jnp.abs(x_new - x))
+        return x_new, norm
+
+    def cond(c):
+        _, it, norm = c
+        return (it < max_iter) & (norm >= tol)
+
+    def body(c):
+        x, it, _ = c
+        x_new, norm = sweep(x)
+        return x_new, it + 1, norm
+
+    x0 = heat.t
+    x, _, _ = lax.while_loop(cond, body, (x0, jnp.zeros((), jnp.int32),
+                                          jnp.full((), jnp.inf, x0.dtype)))
+
+    t_new = jnp.where(heat_mask, x, heat.t)
+
+    # heat balance (evaluateHeatBalance, heat.cpp:376-394)
+    storage = jnp.sum(jnp.where(
+        heat_mask,
+        heat_capacity(grid, params, node_h - grid.z, t_new) * grid.volume * t_new,
+        0.0))
+    sink = jnp.sum(jnp.where(heat_mask, heat_flow, 0.0)) * dt_heat
+    delta = storage - heat.storage_prev
+    mbe = delta - sink
+    ref = jnp.maximum(jnp.abs(storage) * 1e-6, jnp.abs(sink))
+    mbr = mbe / jnp.maximum(ref, 1.0)
+
+    ok = jnp.abs(mbr) <= 1.0
+    t_final = jnp.where(ok, t_new, heat.t_old)
+    new_state = HeatState(
+        t=t_final,
+        t_old=jnp.where(ok, t_new, heat.t_old),
+        sink_source=heat.sink_source,
+        storage_prev=jnp.where(ok, storage, heat.storage_prev),
+        storage_whole=heat.storage_whole,
+        sink_whole=heat.sink_whole + jnp.where(ok, sink, 0.0),
+        mbr=mbr)
+    return new_state, mbr
+
+
+def heat_storage(grid: Grid, params: SolverParameters, heat: HeatState,
+                 water: WaterState):
+    """Total heat storage [J] (computeCurrentHeatStorage, heat.cpp:344-357)."""
+    heat_mask = grid.mask.at[0].set(False)
+    h_signed = water.h - grid.z
+    cap = heat_capacity(grid, params, h_signed, heat.t)
+    return jnp.sum(jnp.where(heat_mask, cap * grid.volume * heat.t, 0.0))
