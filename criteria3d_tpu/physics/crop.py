@@ -1,0 +1,357 @@
+"""Crop development, root water uptake, and the ET sink assembly.
+
+Vectorised re-expression of agrolib/crop (degree-day phenology, LAI curve,
+root growth/density — crop.cpp:161-234,651-690, development.cpp:42-155,
+root.cpp:139-170,255-363,505-600) and the reference's per-cell sink/source
+assembly (Project3D::assignEvaporation / assignTranspiration,
+src/project3D/project3D.cpp:2287-2608), plus the slope-stability factor of
+safety (project3D.cpp:2618-2720).
+
+The reference's per-(row,col) loops become whole-map element-wise passes;
+the 1-cm "atom" root-density discretisation (root.cpp:535-585) becomes a
+continuous quadrature of the same deformed-cardioid profile, which converges
+to the atom scheme as the atom size goes to zero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from criteria3d_tpu.constants import EPSILON, GRAVITY, DEG_TO_RAD
+from criteria3d_tpu.core.grid import Grid
+from criteria3d_tpu.core.soil import se_from_psi, theta_from_se
+from criteria3d_tpu.core.state import SolverParameters
+
+__all__ = ["CropParameters", "degree_day_increase", "lai_from_degree_days",
+           "covered_surface_fraction", "potential_evaporation",
+           "potential_transpiration", "root_length", "root_density_profile",
+           "transpiration_sink", "evaporation_sink", "factor_of_safety",
+           "water_content_thresholds"]
+
+# standard matric potentials (soil.cpp:522-583) [kPa]
+PSI_WILTING_POINT_KPA = -1600.0
+PSI_HYGROSCOPIC_KPA = -3000.0
+MAX_EVAPORATION_DEPTH = 0.25     # [m] (project3D.h)
+
+
+@dataclasses.dataclass(frozen=True)
+class CropParameters:
+    """Subset of Crit3DCrop (crop.h:20-112) needed for LAI + uptake."""
+
+    lai_min: float = 0.2
+    lai_max: float = 4.0
+    lai_curve_a: float = 5.0      # [-] logistic shape a
+    lai_curve_b: float = -0.01    # [DD-1] logistic shape b (negative)
+    thermal_threshold: float = 0.0       # [degC]
+    upper_thermal_threshold: float = 30.0
+    degree_days_increase: float = 1200.0  # [DD] end of LAI growth
+    degree_days_decrease: float = 2000.0  # [DD] length of decrease phase
+    degree_days_emergence: float = 80.0
+    kc_max: float = 1.2
+    f_raw: float = 0.55           # readily-available-water fraction
+    is_tree: bool = False
+    water_surplus_resistant: bool = False
+    # roots
+    root_depth_min: float = 0.05  # [m]
+    root_depth_max: float = 0.8   # [m]
+    degree_days_root_growth: float = 1000.0
+    root_shape_deformation: float = 1.0   # [1..2]
+
+
+def degree_day_increase(crop: CropParameters, t_min, t_max):
+    """Daily thermal time increment [DD] (crop.cpp:161-174)."""
+    t_med = 0.5 * (t_min + jnp.minimum(t_max, crop.upper_thermal_threshold))
+    return jnp.maximum(t_med - crop.thermal_threshold, 0.0)
+
+
+def lai_from_degree_days(crop: CropParameters, degree_days):
+    """LAI from thermal time (getLAICriteria, development.cpp:132-155)."""
+    c4 = 15.0 if crop.is_tree else 9.0
+    n4 = 4.0
+    dd = jnp.asarray(degree_days, jnp.float64)
+    growing = crop.lai_min + (crop.lai_max - crop.lai_min) / (
+        1.0 + jnp.exp(crop.lai_curve_a + crop.lai_curve_b * dd))
+    decl_x = 10.0 * ((dd - crop.degree_days_increase)
+                     / max(crop.degree_days_decrease, 1.0)) / c4
+    declining = crop.lai_min + (crop.lai_max - crop.lai_min) / (
+        1.0 + jnp.maximum(decl_x, 0.0) ** n4)
+    return jnp.where(dd <= crop.degree_days_increase, growing, declining)
+
+
+def covered_surface_fraction(lai):
+    """1 - exp(-k LAI), k = 0.6 (project3D.cpp:2295-2301)."""
+    return jnp.where(lai < EPSILON, 0.0, 1.0 - jnp.exp(-0.6 * lai))
+
+
+def potential_evaporation(et0, lai):
+    """[mm] (project3D.cpp:2309-2314)."""
+    return et0 * (1.0 - covered_surface_fraction(lai))
+
+
+def potential_transpiration(et0, lai, kc_max):
+    """[mm] (project3D.cpp:2323-2328)."""
+    f = covered_surface_fraction(lai)
+    return et0 * f * (1.0 + (kc_max - 1.0) * f)
+
+
+def root_length(crop: CropParameters, degree_days, soil_depth):
+    """Current root length [m] (computeRootLength3D + getRootLengthDD,
+    crop.cpp:651-690, root.cpp:139-170; linear growth)."""
+    actual_max = jnp.minimum(crop.root_depth_max, soil_depth)
+    max_len = actual_max - crop.root_depth_min
+    dd = jnp.asarray(degree_days, jnp.float64)
+    frac = jnp.clip(dd / crop.degree_days_root_growth, 0.0, 1.0)
+    length = jnp.where(dd <= 1.0, 0.0, max_len * frac)
+    return jnp.maximum(length, 0.0)
+
+
+def _cardioid_cdf(t):
+    """Fraction of (undeformed) double-lunette root mass above the
+    normalised rooted depth t in [0, 1].
+
+    Continuous limit of cardioidDistribution (root.cpp:255-318): the first
+    half of the rooted zone follows the lunette area function
+    G(s) = (pi/2 - asin(1-s) - (1-s) sqrt(1-(1-s)^2)) / pi over s = 2t,
+    the second half mirrors it.
+    """
+    def g(s):
+        u = jnp.clip(1.0 - s, -1.0, 1.0)
+        return (jnp.pi / 2.0 - jnp.arcsin(u) - u * jnp.sqrt(
+            jnp.maximum(1.0 - u * u, 0.0))) / jnp.pi
+
+    t = jnp.clip(t, 0.0, 1.0)
+    first = g(2.0 * t)
+    second = 1.0 - g(2.0 * (1.0 - t))
+    return jnp.where(t <= 0.5, first, second)
+
+
+def root_density_profile(crop: CropParameters, grid: Grid, length,
+                         n_quad: int = 256):
+    """Per-layer root density fractions (L, R, C), summing to 1 where rooted.
+
+    Deformed-cardioid profile (root.cpp:255-318) evaluated by quadrature
+    over the rooted depth: density(t) ∝ cardioid'(t) · exp(-k·2n·t) with the
+    reference's k·slot ≡ li·t scale-invariant exponent,
+    li = -[ln 0.2 + (ln 0.2 - ln 0.05)(shape-1)]·2 over the doubled slots.
+    """
+    L = grid.n_layers
+    length = jnp.maximum(jnp.asarray(length, jnp.float64), 1e-9)
+    top = crop.root_depth_min
+
+    shape = min(max(crop.root_shape_deformation, 1.0), 2.0)
+    li_min = -np.log(0.2)
+    li_max = -np.log(0.05)
+    li = 2.0 * (li_min + (li_max - li_min) * (shape - 1.0))
+
+    # quadrature nodes over normalised rooted depth
+    t = (jnp.arange(n_quad, dtype=jnp.float64) + 0.5) / n_quad
+    cdf = _cardioid_cdf(t)
+    pdf = jnp.diff(_cardioid_cdf(jnp.arange(n_quad + 1, dtype=jnp.float64)
+                                 / n_quad))
+    w = pdf * jnp.exp(-li * t)
+    w = w / jnp.sum(w)                      # (n_quad,)
+
+    depths = np.asarray(grid.layer_depth)
+    thicks = np.asarray(grid.layer_thickness)
+    uppers = depths - thicks * 0.5
+    lowers = depths + thicks * 0.5
+
+    # depth of each quadrature node per cell: top + t * length
+    # accumulate per layer
+    out = []
+    zq = top + t[:, None, None] * length[None]          # (n_quad, R, C)
+    for l in range(L):
+        if l == 0:
+            out.append(jnp.zeros_like(length))
+            continue
+        inside = (zq >= uppers[l]) & (zq < lowers[l])
+        out.append(jnp.sum(jnp.where(inside, w[:, None, None], 0.0), axis=0))
+    dens = jnp.stack(out)
+    dens = jnp.where(grid.mask, dens, 0.0)
+    # renormalise over the simulated subset (root.cpp:591-600)
+    total = jnp.sum(dens, axis=0, keepdims=True)
+    return jnp.where(total > EPSILON, dens / jnp.maximum(total, 1e-12), 0.0)
+
+
+def water_content_thresholds(grid: Grid, params: SolverParameters,
+                             clay_pct: float = 25.0):
+    """(theta_sat, theta_fc, theta_wp, theta_hh) maps from the VG curves.
+
+    FC potential is clay-dependent -10..-33 kPa (getFieldCapacity,
+    soil.cpp:522-553); WP = -1600 kPa, HH = -3000 kPa.
+    """
+    if clay_pct <= 20:
+        fc_kpa = -10.0
+    elif clay_pct >= 50:
+        fc_kpa = -33.0
+    else:
+        fc_kpa = -10.0 + (-33.0 + 10.0) * (clay_pct - 20.0) / 30.0
+
+    def theta_at(kpa):
+        psi_m = abs(kpa) / GRAVITY   # [kPa] -> [m]
+        se = se_from_psi(grid.soil, jnp.full_like(grid.soil.theta_s, psi_m),
+                         params.wrc_model)
+        return theta_from_se(grid.soil, se)
+
+    return (grid.soil.theta_s, theta_at(fc_kpa),
+            theta_at(PSI_WILTING_POINT_KPA), theta_at(PSI_HYGROSCOPIC_KPA))
+
+
+def transpiration_sink(grid: Grid, params: SolverParameters, crop: CropParameters,
+                       theta, et0, lai, degree_days, soil_depth=None):
+    """Actual transpiration sink: (sink [m3 s-1] (L,R,C), actual [mm] (R,C)).
+
+    Vectorised assignTranspiration (project3D.cpp:2461-2608): per-layer
+    water-stress ratios against the scarcity/surplus thresholds, hydraulic
+    redistribution from unstressed roots, flows assigned per node.
+    """
+    if soil_depth is None:
+        soil_depth = float(grid.layer_depth[-1] + grid.layer_thickness[-1] * 0.5)
+
+    max_t = potential_transpiration(et0, lai, crop.kc_max)     # (R,C) [mm]
+    length = root_length(crop, degree_days, soil_depth)
+    density = root_density_profile(crop, grid, length)          # (L,R,C)
+
+    theta_sat, theta_fc, theta_wp, _ = water_content_thresholds(grid, params)
+    surplus_frac = 0.0 if crop.water_surplus_resistant else 0.5
+    thr_surplus = theta_sat - surplus_frac * (theta_sat - theta_fc)
+    thr_scarcity = theta_fc - crop.f_raw * (theta_fc - theta_wp)
+
+    ratio_scarce = (theta - theta_wp) / jnp.maximum(thr_scarcity - theta_wp, 1e-9)
+    ratio_surplus = (theta_sat - theta) / jnp.maximum(theta_sat - thr_surplus, 1e-9)
+    ratio = jnp.where(theta <= theta_wp, 0.0,
+                      jnp.where(theta < thr_scarcity, ratio_scarce,
+                                jnp.where(theta - thr_surplus > EPSILON,
+                                          ratio_surplus, 1.0)))
+    stressed = (theta <= theta_wp) | (theta < thr_scarcity) \
+        | (theta - thr_surplus > EPSILON)
+
+    rooted = density > 0
+    layer_t = max_t[None] * density * ratio                     # [mm] (L,R,C)
+    subset_max = jnp.sum(max_t[None] * density, axis=0)         # [mm] (R,C)
+    actual = jnp.sum(layer_t, axis=0)
+
+    # hydraulic redistribution (project3D.cpp:2578-2592)
+    unstressed_density = jnp.sum(jnp.where(rooted & ~stressed, density, 0.0),
+                                 axis=0)
+    stress = 1.0 - actual / jnp.maximum(subset_max, 1e-12)
+    apply = (stress > EPSILON) & (unstressed_density > EPSILON) & (subset_max > 0)
+    redistribution = subset_max * jnp.minimum(stress, unstressed_density)
+    add = redistribution[None] * density / jnp.maximum(unstressed_density, 1e-12)
+    layer_t = jnp.where(apply[None] & ~stressed & (layer_t > 0),
+                        layer_t + add, layer_t)
+
+    valid = (lai >= EPSILON)[None] & grid.mask
+    layer_t = jnp.where(valid, layer_t, 0.0)
+    sink = -grid.area * (layer_t / 1000.0) / 3600.0             # [m3 s-1]
+    return sink, jnp.sum(layer_t, axis=0)
+
+
+def evaporation_layer_coefficients(grid: Grid):
+    """Normalised per-layer soil evaporation weights
+    (initializeEvaporationCoefficient, project3D.cpp:2331-2370)."""
+    depths = np.asarray(grid.layer_depth)
+    thicks = np.asarray(grid.layer_thickness)
+    L = grid.n_layers
+    last = 1
+    for l in range(1, L):
+        if depths[l] <= MAX_EVAPORATION_DEPTH:
+            last = l
+    coeff = np.zeros(L)
+    layer_coeff = np.zeros(L)
+    for l in range(1, last + 1):
+        d = max((depths[l] - depths[1]) / (MAX_EVAPORATION_DEPTH - depths[1]), 0.0)
+        coeff[l] = np.exp(-2.0 * d)
+        layer_coeff[l] = coeff[l] * (thicks[l] / 0.04)
+    s = layer_coeff.sum()
+    if s > 0:
+        layer_coeff /= s
+    return jnp.asarray(coeff), jnp.asarray(layer_coeff), last
+
+
+def evaporation_sink(grid: Grid, params: SolverParameters, theta, surface_water,
+                     et0, lai):
+    """Surface + shallow-soil evaporation sink.
+
+    Vectorised assignEvaporation (project3D.cpp:2377-2451): surface water
+    evaporates first; the residual demand is distributed over the top soil
+    layers with exponentially-decreasing coefficients in up to 3 iterations.
+    Returns (sink [m3 s-1] (L,R,C), actual [mm] (R,C)).
+    """
+    max_evap = potential_evaporation(et0, lai)                  # [mm]
+    evap_coeff, layer_coeff, last = evaporation_layer_coefficients(grid)
+
+    surf_mm = surface_water * 1000.0
+    surf_evap = jnp.minimum(max_evap, surf_mm)
+    surf_flow = grid.area * (surf_evap / 1000.0) / 3600.0
+    surf_evap = jnp.where(surf_flow <= 2.3e-16, 0.0, surf_evap)
+
+    _, theta_fc, _, theta_hh = water_content_thresholds(grid, params)
+    thr = theta_hh + (1.0 - evap_coeff.reshape(-1, 1, 1)) * (theta_fc - theta_hh) * 0.5
+
+    thick = jnp.asarray(np.asarray(grid.layer_thickness)).reshape(-1, 1, 1)
+    layer_idx = jnp.arange(grid.n_layers).reshape(-1, 1, 1)
+    evap_layer_ok = (layer_idx >= 1) & (layer_idx <= last) & grid.mask
+
+    residual = jnp.maximum(max_evap - surf_evap, 0.0)
+    layer_evap_total = jnp.zeros_like(theta)
+    avail = jnp.where(evap_layer_ok,
+                      jnp.maximum(theta - thr, 0.0) * thick * 1000.0, 0.0)
+    lc = layer_coeff.reshape(-1, 1, 1)
+    for _ in range(3):
+        demand = residual[None] * lc
+        take = jnp.minimum(avail - layer_evap_total, demand)
+        take = jnp.where(take > EPSILON, take, 0.0)
+        layer_evap_total = layer_evap_total + take
+        residual = jnp.maximum(residual - jnp.sum(take, axis=0), 0.0)
+
+    actual = surf_evap + jnp.sum(layer_evap_total, axis=0)
+    sink = -grid.area * (layer_evap_total / 1000.0) / 3600.0
+    sink = sink.at[0].add(-grid.area * (surf_evap / 1000.0) / 3600.0)
+    sink = jnp.where(grid.mask, sink, 0.0)
+    return sink, actual
+
+
+def factor_of_safety(grid: Grid, params: SolverParameters, h, se,
+                     slope_deg, *, effective_cohesion=5.0, friction_angle=30.0,
+                     bulk_density=1.4, increase_slope=False):
+    """Infinite-slope factor of safety with suction stress, per layer.
+
+    Vectorised computeFactorOfSafety (project3D.cpp:2618-2720). Returns a
+    (L, R, C) map (layer 0 = NaN). FoS < 1 => unstable.
+    """
+    slope = jnp.asarray(slope_deg, jnp.float64)
+    if increase_slope:
+        slope = jnp.minimum(slope * 1.5, 89.0)
+    slope_rad = jnp.maximum(slope * DEG_TO_RAD, EPSILON)
+    tan_angle = jnp.maximum(jnp.tan(slope_rad), EPSILON)
+    tan_friction = np.tan(np.radians(friction_angle))
+    friction_effect = tan_friction / tan_angle
+
+    # suction stress [kPa] = matric potential [kPa] * Se
+    psi_kpa = jnp.minimum(0.0, (h - grid.z) * GRAVITY)
+    suction_stress = psi_kpa * se
+
+    # water content per node
+    theta = theta_from_se(grid.soil, se)
+
+    # cumulative overburden weight from the surface down [kPa]
+    surf_water = jnp.maximum(h[0] - grid.z[0], 0.0)
+    thick = jnp.asarray(np.asarray(grid.layer_thickness)).reshape(-1, 1, 1)
+    unit_weight = (bulk_density + theta) * GRAVITY * thick      # [kPa] per layer
+    unit_weight = unit_weight.at[0].set(surf_water * GRAVITY)
+    weight_cum = jnp.cumsum(jnp.where(grid.mask, unit_weight, 0.0), axis=0)
+    weight_cum = jnp.maximum(weight_cum, 1e-6)
+
+    cohesion_effect = 2.0 * effective_cohesion / (
+        weight_cum * jnp.sin(2.0 * slope_rad)[None])
+    suction_effect = (suction_stress * (tan_angle + 1.0 / tan_angle)[None]
+                      * tan_friction) / weight_cum
+
+    fos = friction_effect[None] + cohesion_effect - suction_effect
+    fos = jnp.where(grid.mask, fos, jnp.nan)
+    return fos.at[0].set(jnp.nan)
