@@ -1,0 +1,179 @@
+"""Station-to-grid meteorological interpolation: detrended IDW.
+
+Vectorised re-expression of agrolib/interpolation: proxy detrending by
+simple linear regression (regressionSimple/regressionGeneric,
+interpolation.cpp:304-365), inverse-distance weighting with the reference's
+cube-of-(distance/10km) kernel (inverseDistanceWeighted,
+interpolation.cpp:1031-1051), retrending at the target cells and
+variable-specific post-processing (interpolate, interpolation.cpp:2502-2560).
+
+The reference's per-DEM-cell loop (Project::interpolationDemMain,
+project.cpp:3531-3561) becomes a `lax.scan` over stations accumulating the
+weighted sums on the whole (R, C) map at once.
+
+Not yet covered (future rounds): kriging variograms, multiple/local/glocal
+detrending, topographic-distance weighting, supplemental-station logic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from criteria3d_tpu.constants import EPSILON, NODATA
+
+__all__ = ["VariableKind", "idw_map", "detrended_idw", "simple_regression",
+           "quality_range_check"]
+
+
+class VariableKind(enum.IntEnum):
+    """Post-processing class of the interpolated variable
+    (interpolate, interpolation.cpp:2540-2560)."""
+
+    GENERIC = 0
+    TEMPERATURE = 1
+    PRECIPITATION = 2
+    RELATIVE_HUMIDITY = 3
+    NON_NEGATIVE = 4     # radiation, wind, leaf wetness, transmissivity
+
+
+def simple_regression(values, proxy, active=None):
+    """(slope, intercept, r2) of values ~ proxy over active stations.
+
+    Mirrors regressionSimple (interpolation.cpp:304-344) + statistics.cpp
+    linearRegression. Inactive/NODATA stations are excluded by masking.
+    """
+    values = jnp.asarray(values, jnp.float64)
+    proxy = jnp.asarray(proxy, jnp.float64)
+    ok = (values != NODATA) & (proxy != NODATA)
+    if active is not None:
+        ok = ok & active
+    n = jnp.maximum(jnp.sum(ok), 1)
+    w = ok.astype(values.dtype)
+    mx = jnp.sum(w * proxy) / n
+    my = jnp.sum(w * values) / n
+    sxx = jnp.sum(w * (proxy - mx) ** 2)
+    sxy = jnp.sum(w * (proxy - mx) * (values - my))
+    syy = jnp.sum(w * (values - my) ** 2)
+    slope = jnp.where(sxx > 0, sxy / jnp.maximum(sxx, 1e-12), 0.0)
+    intercept = my - slope * mx
+    r2 = jnp.where((sxx > 0) & (syy > 0),
+                   (sxy * sxy) / jnp.maximum(sxx * syy, 1e-12), 0.0)
+    return slope, intercept, r2
+
+
+def idw_map(station_x, station_y, station_value, grid_x, grid_y,
+            active=None):
+    """IDW of station values onto (R, C) coordinate maps.
+
+    Weight = 1 / (d / 10 km)^3 (inverseDistanceWeighted,
+    interpolation.cpp:1040-1046); a station within EPSILON of a cell centre
+    dominates via the distance floor.
+    """
+    sx = jnp.asarray(station_x, jnp.float64)
+    sy = jnp.asarray(station_y, jnp.float64)
+    sv = jnp.asarray(station_value, jnp.float64)
+    ok = sv != NODATA
+    if active is not None:
+        ok = ok & active
+
+    def body(carry, inputs):
+        s_sum, w_sum = carry
+        x, y, v, valid = inputs
+        dist = jnp.sqrt((grid_x - x) ** 2 + (grid_y - y) ** 2)
+        dist = jnp.maximum(dist, EPSILON)
+        d_km = dist / 10000.0
+        w = 1.0 / (d_km * d_km * d_km)
+        w = jnp.where(valid, w, 0.0)
+        return (s_sum + v * w, w_sum + w), None
+
+    init = (jnp.zeros_like(grid_x), jnp.zeros_like(grid_x))
+    (s_sum, w_sum), _ = lax.scan(body, init, (sx, sy, sv, ok))
+    return jnp.where(w_sum > 0, s_sum / jnp.maximum(w_sum, 1e-30), NODATA)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProxyResult:
+    slope: jax.Array
+    intercept: jax.Array
+    r2: jax.Array
+    significant: jax.Array
+
+
+def detrended_idw(station_x, station_y, station_z, station_value,
+                  grid_x, grid_y, grid_z, *,
+                  kind: VariableKind = VariableKind.GENERIC,
+                  min_regression_r2: float = 0.1,
+                  rainfall_threshold: float = 0.2,
+                  extra_station_proxies=(), extra_grid_proxies=(),
+                  active=None):
+    """Detrended IDW of one variable onto the DEM.
+
+    1. regress station values against elevation (+ optional extra proxies);
+    2. subtract the significant trends from station values (detrendPoints,
+       interpolation.cpp:1236-1280);
+    3. IDW the residuals;
+    4. add the trends back at the grid cells (retrend);
+    5. variable-specific clamping.
+
+    Returns ``(map, ProxyResult for elevation)``.
+    """
+    sv = jnp.asarray(station_value, jnp.float64)
+    sz = jnp.asarray(station_z, jnp.float64)
+    ok = sv != NODATA
+    if active is not None:
+        ok = ok & jnp.asarray(active)
+
+    # precipitation all-zero shortcut (interpolate, interpolation.cpp:2506)
+    if kind == VariableKind.PRECIPITATION:
+        all_zero = jnp.sum(jnp.where(ok, jnp.abs(sv), 0.0)) <= 0.0
+    else:
+        all_zero = jnp.asarray(False)
+
+    proxies = [(sz, jnp.asarray(grid_z, jnp.float64))]
+    for sp, gp in zip(extra_station_proxies, extra_grid_proxies):
+        proxies.append((jnp.asarray(sp, jnp.float64), jnp.asarray(gp, jnp.float64)))
+
+    residual = sv
+    trend_grid = jnp.zeros_like(jnp.asarray(grid_z, jnp.float64))
+    elev_result = None
+    detrendable = kind in (VariableKind.TEMPERATURE, VariableKind.GENERIC,
+                           VariableKind.RELATIVE_HUMIDITY)
+    for i, (sp, gp) in enumerate(proxies):
+        slope, intercept, r2 = simple_regression(residual, sp, ok)
+        significant = r2 >= min_regression_r2
+        if not detrendable:
+            significant = jnp.asarray(False)
+        residual = jnp.where(significant & ok, residual - (intercept + slope * sp),
+                             residual)
+        residual = jnp.where(ok, residual, NODATA)
+        trend_grid = trend_grid + jnp.where(significant,
+                                            intercept + slope * gp, 0.0)
+        if i == 0:
+            elev_result = ProxyResult(slope, intercept, r2, significant)
+
+    result = idw_map(station_x, station_y, residual, grid_x, grid_y, active=ok)
+    result = jnp.where(result != NODATA, result + trend_grid, NODATA)
+
+    # post-processing (interpolation.cpp:2540-2560)
+    if kind == VariableKind.PRECIPITATION:
+        result = jnp.where(result < rainfall_threshold, 0.0, result)
+        result = jnp.where(all_zero, 0.0, result)
+    elif kind == VariableKind.RELATIVE_HUMIDITY:
+        result = jnp.clip(result, 0.0, 100.0)
+    elif kind == VariableKind.NON_NEGATIVE:
+        result = jnp.maximum(result, 0.0)
+
+    return result, elev_result
+
+
+def quality_range_check(value, vmin, vmax):
+    """Gross-range quality control (Crit3DQuality, quality.h:41-94):
+    NODATA outside the plausible physical range."""
+    v = jnp.asarray(value, jnp.float64)
+    ok = (v >= vmin) & (v <= vmax) & (v != NODATA)
+    return jnp.where(ok, v, NODATA), ok

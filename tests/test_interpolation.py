@@ -1,0 +1,109 @@
+"""Interpolation tests: exactness, lapse-rate recovery, variable handling."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from criteria3d_tpu.constants import NODATA
+from criteria3d_tpu.physics.interpolation import (VariableKind, detrended_idw,
+                                                  idw_map, simple_regression,
+                                                  quality_range_check)
+
+
+def grid_coords(n=20, cell=100.0):
+    rows, cols = np.mgrid[0:n, 0:n]
+    x = cols * cell
+    y = (n - 1 - rows) * cell
+    return jnp.asarray(x, jnp.float64), jnp.asarray(y, jnp.float64)
+
+
+def test_simple_regression_recovers_line():
+    z = np.linspace(0, 1000, 30)
+    v = 25.0 - 0.0065 * z + np.random.RandomState(0).normal(0, 0.05, 30)
+    slope, intercept, r2 = simple_regression(jnp.asarray(v), jnp.asarray(z))
+    assert float(slope) == pytest.approx(-0.0065, abs=3e-4)
+    assert float(intercept) == pytest.approx(25.0, abs=0.2)
+    assert float(r2) > 0.99
+
+
+def test_idw_exact_at_station():
+    gx, gy = grid_coords()
+    sx = jnp.asarray([450.0, 1500.0])
+    sy = jnp.asarray([450.0, 1500.0])
+    sv = jnp.asarray([10.0, 20.0])
+    out = idw_map(sx, sy, sv, gx, gy)
+    # nearest cells to each station take (almost exactly) their value
+    r0, c0 = 19 - 4, 4   # y=400..500 -> row with y=450 is n-1-4... find nearest
+    vals = np.asarray(out)
+    # value range bounded by station values
+    assert vals.min() >= 10.0 - 1e-6 and vals.max() <= 20.0 + 1e-6
+    # cell at station 1 position
+    i, j = np.unravel_index(np.argmin((np.asarray(gx) - 450) ** 2
+                                      + (np.asarray(gy) - 450) ** 2), vals.shape)
+    assert vals[i, j] == pytest.approx(10.0, abs=0.05)
+
+
+def test_idw_ignores_nodata_station():
+    gx, gy = grid_coords()
+    sv = jnp.asarray([15.0, NODATA])
+    out = idw_map(jnp.asarray([0.0, 900.0]), jnp.asarray([0.0, 900.0]),
+                  sv, gx, gy)
+    np.testing.assert_allclose(np.asarray(out), 15.0, atol=1e-9)
+
+
+def test_detrended_idw_recovers_lapse_rate():
+    """Stations on a slope with a perfect lapse rate: the interpolated map
+    must reproduce T(z) at every cell, including cells higher than any
+    station (extrapolation through the trend)."""
+    n = 20
+    gx, gy = grid_coords(n)
+    gz = jnp.asarray(np.linspace(0, 1500, n)[None, :].repeat(n, 0), jnp.float64)
+
+    rng = np.random.RandomState(1)
+    sx = jnp.asarray(rng.uniform(0, 1900, 25))
+    sy = jnp.asarray(rng.uniform(0, 1900, 25))
+    sz = jnp.asarray(rng.uniform(0, 1000, 25))
+    t0, gamma = 22.0, -0.0065
+    sv = t0 + gamma * sz
+
+    out, elev = detrended_idw(sx, sy, sz, sv, gx, gy, gz,
+                              kind=VariableKind.TEMPERATURE)
+    expected = t0 + gamma * np.asarray(gz)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-6)
+    assert bool(elev.significant)
+    assert float(elev.slope) == pytest.approx(gamma, abs=1e-9)
+
+
+def test_precipitation_threshold_and_all_zero():
+    gx, gy = grid_coords(8)
+    gz = jnp.zeros_like(gx)
+    sx = jnp.asarray([100.0, 500.0])
+    sy = jnp.asarray([100.0, 500.0])
+    sz = jnp.asarray([0.0, 0.0])
+
+    out, _ = detrended_idw(sx, sy, sz, jnp.asarray([0.0, 0.0]), gx, gy, gz,
+                           kind=VariableKind.PRECIPITATION)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+    out2, _ = detrended_idw(sx, sy, sz, jnp.asarray([0.1, 0.05]), gx, gy, gz,
+                            kind=VariableKind.PRECIPITATION)
+    np.testing.assert_allclose(np.asarray(out2), 0.0)  # below 0.2 mm threshold
+
+
+def test_rh_clamped():
+    gx, gy = grid_coords(8)
+    gz = jnp.asarray(np.linspace(0, 3000, 8)[None, :].repeat(8, 0))
+    sx = jnp.asarray([100.0, 500.0])
+    sy = jnp.asarray([100.0, 500.0])
+    sz = jnp.asarray([0.0, 100.0])
+    sv = jnp.asarray([95.0, 95.0])
+    out, _ = detrended_idw(sx, sy, sz, sv, gx, gy, gz,
+                           kind=VariableKind.RELATIVE_HUMIDITY)
+    vals = np.asarray(out)
+    assert vals.max() <= 100.0 and vals.min() >= 0.0
+
+
+def test_quality_range():
+    v, ok = quality_range_check(jnp.asarray([20.0, -80.0, 1.0]), -60.0, 60.0)
+    assert bool(ok[0]) and not bool(ok[1])
+    assert float(v[1]) == NODATA
