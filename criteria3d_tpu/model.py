@@ -1,0 +1,227 @@
+"""Hourly model orchestration: the TPU analogue of Crit3DProject::runModelHour.
+
+Drives one simulated hour (bin/CRITERIA3D/criteria3DProject.cpp:2020-2135):
+
+1. meteorological forcing maps (interpolated from stations or given directly);
+2. solar radiation on the DEM (clear/real sky, shadowing);
+3. snow accumulation / melt (Brooks);
+4. reference evapotranspiration (Penman-Monteith hourly);
+5. sink/source assembly: canopy interception, soil-cracking preferential
+   flow, precipitation/snowmelt, soil evaporation, crop transpiration;
+6. the coupled surface-subsurface water step (compute_period over 3600 s).
+
+All heavy stages are jit-compiled; the orchestration itself is host-side
+Python exactly as the reference's hourly loop is host-side C++.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from criteria3d_tpu.constants import HOUR_SECONDS, ZEROCELSIUS
+from criteria3d_tpu.core.grid import Grid
+from criteria3d_tpu.core.state import SolverParameters, WaterState
+from criteria3d_tpu.physics import crop as crop_mod
+from criteria3d_tpu.physics import meteo as meteo_mod
+from criteria3d_tpu.physics import radiation as rad_mod
+from criteria3d_tpu.physics.cracking import soil_cracking
+from criteria3d_tpu.physics.interception import canopy_water_management
+from criteria3d_tpu.physics.snow import SnowForcing, SnowState, snow_step
+from criteria3d_tpu.solver import water as W
+from criteria3d_tpu.solver.step import compute_period, initialize_balance
+
+__all__ = ["HourlyForcing", "ModelConfig", "Criteria3DModel"]
+
+
+@dataclasses.dataclass
+class HourlyForcing:
+    """Hourly meteorological maps, all (R, C)."""
+
+    air_temperature: jax.Array    # [degC]
+    precipitation: jax.Array      # [mm/h]
+    rel_humidity: jax.Array       # [%]
+    wind_speed: jax.Array         # [m s-1]
+    transmissivity: float | jax.Array = 0.75
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Process toggles (Crit3DProcesses, project3D.h:57-75)."""
+
+    compute_snow: bool = True
+    compute_crop: bool = True
+    compute_evaporation: bool = True
+    compute_cracking: bool = False
+    compute_interception: bool = False
+    latitude: float = 44.5
+    longitude: float = 11.3
+    timezone: int = 1
+    clear_sky_transmissivity: float = 0.75
+    linke: float = 3.5
+    albedo: float = 0.2
+
+
+@dataclasses.dataclass
+class Criteria3DModel:
+    """Holds grid + states and advances them hour by hour."""
+
+    grid: Grid
+    params: SolverParameters
+    config: ModelConfig
+    water: WaterState
+    snow: SnowState | None = None
+    crop: crop_mod.CropParameters | None = None
+    lai: jax.Array | None = None            # (R,C)
+    degree_days: jax.Array | None = None    # (R,C)
+    canopy_storage: jax.Array | None = None
+    slope_deg: jax.Array | None = None
+    aspect_deg: jax.Array | None = None
+    total_evaporation_mm: float = 0.0
+    total_transpiration_mm: float = 0.0
+    total_precipitation_m3: float = 0.0
+
+    @staticmethod
+    def create(grid: Grid, params: SolverParameters, config: ModelConfig,
+               *, matric_potential=-2.0,
+               crop: crop_mod.CropParameters | None = None) -> "Criteria3DModel":
+        from criteria3d_tpu.core.grid import slope_aspect
+        water = WaterState.initialize(grid, params,
+                                      matric_potential=matric_potential)
+        water = initialize_balance(grid, params, water)
+        shape2d = grid.shape[1:]
+        snow = SnowState.zero(shape2d) if config.compute_snow else None
+        if crop is None and config.compute_crop:
+            crop = crop_mod.CropParameters()
+        return Criteria3DModel(
+            grid=grid, params=params, config=config, water=water, snow=snow,
+            crop=crop,
+            lai=jnp.full(shape2d, 2.0) if config.compute_crop else None,
+            degree_days=jnp.full(shape2d, 600.0) if config.compute_crop else None,
+            canopy_storage=jnp.zeros(shape2d),
+        )
+
+    # ------------------------------------------------------------------
+    def daily_update(self, t_min, t_max):
+        """Daily crop update: degree days + LAI (dailyUpdateCropMaps,
+        criteria3DProject.cpp:1224)."""
+        if not self.config.compute_crop:
+            return
+        inc = crop_mod.degree_day_increase(self.crop, t_min, t_max)
+        self.degree_days = self.degree_days + inc
+        self.lai = crop_mod.lai_from_degree_days(self.crop, self.degree_days)
+
+    # ------------------------------------------------------------------
+    def run_hour(self, forcing: HourlyForcing, year: int, month: int, day: int,
+                 hour: int) -> dict:
+        """One hour of the full model cycle. Returns diagnostics."""
+        grid, params, cfg = self.grid, self.params, self.config
+        valid = grid.mask[0]
+        dem2d = grid.z[0]
+        out = {}
+
+        # ---- radiation (interpolateDemRadiation, criteria3DProject.cpp:2050)
+        slope = self.slope_deg if self.slope_deg is not None else jnp.zeros_like(dem2d)
+        aspect = self.aspect_deg if self.aspect_deg is not None else jnp.zeros_like(dem2d)
+        lat = jnp.full(dem2d.shape, cfg.latitude)
+        lon = jnp.full(dem2d.shape, cfg.longitude)
+        rad = rad_mod.compute_radiation_dem(
+            dem2d, valid, grid.cell_size, lat, lon, slope, aspect,
+            cfg.timezone, year, month, day, hour,
+            linke=cfg.linke, albedo=cfg.albedo,
+            clear_sky_transmissivity=cfg.clear_sky_transmissivity,
+            transmissivity=jnp.broadcast_to(
+                jnp.asarray(forcing.transmissivity, jnp.float64), dem2d.shape))
+        out["global_radiation"] = rad.global_irr
+
+        # ---- snow (computeSnowModel, criteria3DProject.cpp:1761-1860)
+        water_input_mm = forcing.precipitation
+        if cfg.compute_snow and self.snow is not None:
+            surf_water_mm = self.water.surface_water_level(grid) * 1000.0
+            sf = SnowForcing(
+                air_temp=forcing.air_temperature,
+                precipitation=forcing.precipitation,
+                rel_humidity=forcing.rel_humidity,
+                wind_speed=forcing.wind_speed,
+                global_radiation=rad.global_irr,
+                beam_radiation=rad.beam,
+                transmissivity=jnp.broadcast_to(
+                    jnp.asarray(forcing.transmissivity, jnp.float64),
+                    dem2d.shape),
+                clear_sky_transmissivity=jnp.full(dem2d.shape,
+                                                  cfg.clear_sky_transmissivity),
+                surface_water=surf_water_mm)
+            self.snow, snow_out = snow_step(self.snow, sf)
+            # water input = rain + snowmelt (snow stays on the pack)
+            water_input_mm = snow_out["rain"] + jnp.maximum(
+                snow_out["snow_melt"], 0.0)
+            out["swe"] = self.snow.swe
+            out["snow_melt"] = snow_out["snow_melt"]
+
+        # ---- ET0 (computeET0PMMap, criteria3DProject.cpp:2078)
+        norm_trans = jnp.asarray(forcing.transmissivity, jnp.float64) \
+            / cfg.clear_sky_transmissivity
+        et0 = meteo_mod.et0_penman_hourly(
+            dem2d, norm_trans, rad.global_irr, forcing.air_temperature,
+            forcing.rel_humidity, forcing.wind_speed)
+        et0 = jnp.where(valid, et0, 0.0)
+        out["et0"] = et0
+
+        # ---- canopy interception
+        if cfg.compute_interception and self.lai is not None:
+            canopy = canopy_water_management(
+                self.canopy_storage, water_input_mm, et0, self.lai)
+            self.canopy_storage = canopy["stored_water"]
+            water_input_mm = canopy["soil_water"]
+
+        # ---- sink/source assembly (criteria3DProject.cpp:2094-2106)
+        sink = jnp.zeros(grid.shape, params.dtype)
+        from criteria3d_tpu.core.soil import theta_from_se
+        se = W.compute_se(grid, params, self.water.h)
+        theta = jnp.where(grid.mask, theta_from_se(grid.soil, se), 0.0)
+
+        # cracking diverts part of the rain directly into dry soil layers
+        if cfg.compute_cracking:
+            se = W.compute_se(grid, params, self.water.h)
+            crack_sink, water_input_mm = soil_cracking(
+                grid, params, se, water_input_mm,
+                self.water.pond * 1000.0)
+            sink = sink + crack_sink
+
+        # precipitation -> surface nodes
+        prec_flow = grid.area * (water_input_mm / 1000.0) / HOUR_SECONDS
+        sink = sink.at[0].add(jnp.where(valid, prec_flow, 0.0))
+        self.total_precipitation_m3 += float(
+            jnp.sum(jnp.where(valid, prec_flow, 0.0)) * HOUR_SECONDS)
+
+        # evaporation
+        if cfg.compute_evaporation:
+            lai = self.lai if self.lai is not None else jnp.zeros_like(et0)
+            surf_water = self.water.surface_water_level(grid)
+            evap_sink, evap_mm = crop_mod.evaporation_sink(
+                grid, params, theta, surf_water, et0, lai)
+            sink = sink + evap_sink
+            self.total_evaporation_mm += float(jnp.mean(
+                jnp.where(valid, evap_mm, 0.0)))
+            out["evaporation"] = evap_mm
+
+        # transpiration
+        if cfg.compute_crop and self.crop is not None:
+            tr_sink, tr_mm = crop_mod.transpiration_sink(
+                grid, params, self.crop, theta, et0, self.lai,
+                self.degree_days)
+            sink = sink + tr_sink
+            self.total_transpiration_mm += float(jnp.mean(
+                jnp.where(valid, tr_mm, 0.0)))
+            out["transpiration"] = tr_mm
+
+        # ---- water fluxes (runWaterFluxes3DModel, project3D.cpp:1304-1386)
+        self.water = dataclasses.replace(self.water, sink_source=sink)
+        self.water = compute_period(grid, params, self.water, HOUR_SECONDS)
+
+        out["mbr"] = float(self.water.balance_whole.mbr)
+        out["courant"] = float(self.water.courant)
+        return out

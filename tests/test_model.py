@@ -1,0 +1,123 @@
+"""Integration test: full hourly model cycle on a small synthetic catchment.
+
+This is the analogue of the reference's sample-project smoke runs (there is
+no upstream assertion suite, SURVEY.md §4): the model must run a simulated
+day with rain, snow, ET and water fluxes, close the mass balance and keep
+all prognostic fields finite.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from criteria3d_tpu import Grid, SoilFields, SolverParameters
+from criteria3d_tpu.model import Criteria3DModel, HourlyForcing, ModelConfig
+from criteria3d_tpu.physics.cracking import soil_cracking
+from criteria3d_tpu.physics.interception import canopy_water_management
+from criteria3d_tpu.solver import water as W
+from tests.test_catchment3d import valley_dem
+
+
+@pytest.fixture(scope="module")
+def model():
+    dem = valley_dem(10)
+    soil = SoilFields.uniform(dem.shape, vg_alpha=1.2, vg_n=1.5, vg_he=0.02,
+                              theta_s=0.41, theta_r=0.04, k_sat=5e-6)
+    grid = Grid.build(dem, 10.0, soil, total_depth=0.6)
+    params = SolverParameters()
+    cfg = ModelConfig(compute_snow=True, compute_crop=True,
+                      compute_evaporation=True)
+    return Criteria3DModel.create(grid, params, cfg, matric_potential=-1.5)
+
+
+def constant_forcing(shape, t=12.0, prec=0.0):
+    f = lambda v: jnp.full(shape, float(v), jnp.float64)
+    return HourlyForcing(air_temperature=f(t), precipitation=f(prec),
+                         rel_humidity=f(70.0), wind_speed=f(2.0),
+                         transmissivity=0.6)
+
+
+def test_run_rainy_then_sunny_day(model):
+    shape = model.grid.shape[1:]
+    s0 = float(W.total_water_content(model.grid, model.params,
+                                     model.water.h, model.water.se))
+
+    # 3 rainy morning hours
+    for h in range(6, 9):
+        out = model.run_hour(constant_forcing(shape, t=10.0, prec=4.0),
+                             2023, 5, 10, h)
+        assert np.isfinite(out["mbr"])
+
+    # 3 sunny hours
+    for h in range(12, 15):
+        out = model.run_hour(constant_forcing(shape, t=22.0, prec=0.0),
+                             2023, 5, 10, h)
+
+    # radiation was produced during the day
+    assert float(jnp.max(out["global_radiation"])) > 300.0
+    # ET0 positive on a sunny afternoon
+    assert float(jnp.max(out["et0"])) > 0.05
+    # some transpiration happened
+    assert "transpiration" in out
+    # water entered the catchment: storage rose vs start
+    s1 = float(W.total_water_content(model.grid, model.params,
+                                     model.water.h, model.water.se))
+    assert s1 > s0
+    # prognostic fields finite
+    assert np.isfinite(np.asarray(model.water.h)).all()
+
+
+def test_snowy_hours_cold_ground(model):
+    """Snow accumulates on cold ground over a cold night (a single cold hour
+    on sun-warmed ground correctly leaves SWE at 0: the pack's internal
+    energy stays positive, snow.cpp:443-449)."""
+    from criteria3d_tpu.physics.snow import SnowState
+    shape = model.grid.shape[1:]
+    model.snow = SnowState.zero(shape, surface_temp=-3.0)
+    for h in [0, 1, 2, 3]:
+        out = model.run_hour(constant_forcing(shape, t=-6.0, prec=3.0),
+                             2023, 1, 10, h)
+    assert float(jnp.max(out["swe"])) > 5.0  # most of 12 mm accumulated
+
+
+def test_daily_update_moves_lai(model):
+    lai_before = float(model.lai[0, 0])
+    dd_before = float(model.degree_days[0, 0])
+    model.daily_update(t_min=12.0, t_max=24.0)
+    assert float(model.degree_days[0, 0]) > dd_before
+    assert float(model.lai[0, 0]) != lai_before or float(model.lai[0, 0]) > 0
+
+
+def test_interception_balance():
+    stored = jnp.zeros((4, 4))
+    out = canopy_water_management(stored, jnp.full((4, 4), 5.0),
+                                  jnp.full((4, 4), 0.1), jnp.full((4, 4), 3.0))
+    # conservation: rain = soil water + canopy storage change + evaporation
+    total = (out["soil_water"] + out["stored_water"] - stored
+             + out["canopy_evaporation"])
+    np.testing.assert_allclose(np.asarray(total), 5.0, atol=1e-9)
+    assert float(out["soil_water"][0, 0]) < 5.0  # some intercepted
+
+
+def test_cracking_diverts_rain():
+    dem = np.full((4, 4), 100.0)
+    soil = SoilFields.uniform((4, 4), vg_alpha=1.2, vg_n=1.5, vg_he=0.02,
+                              theta_s=0.45, theta_r=0.05, k_sat=1e-6)
+    grid = Grid.build(dem, 10.0, soil, total_depth=0.8,
+                      free_catchment_runoff=False)
+    params = SolverParameters()
+    # very dry profile: large void volume
+    se_dry = jnp.full(grid.shape, 0.3)
+    sink, residual = soil_cracking(grid, params, se_dry,
+                                   jnp.full((4, 4), 10.0),
+                                   jnp.full((4, 4), 2.0))
+    assert float(jnp.sum(sink)) > 0.0          # water entered the cracks
+    assert float(residual[0, 0]) < 10.0        # less water left on surface
+
+    # saturated profile: no cracking
+    se_wet = jnp.full(grid.shape, 1.0)
+    sink_w, residual_w = soil_cracking(grid, params, se_wet,
+                                       jnp.full((4, 4), 10.0),
+                                       jnp.full((4, 4), 2.0))
+    assert float(jnp.sum(sink_w)) == 0.0
+    np.testing.assert_allclose(np.asarray(residual_w), 10.0)
