@@ -1,12 +1,17 @@
 """Benchmark: coupled surface-subsurface water flow on the Ravone catchment.
 
-Runs one simulated hour of storm rainfall on the paper case-study DEM
-(DATA/DEM/DEM_Ravone.flt, 4 m cells, ~422k surface cells x 11 soil layers
-~= 4.4M nodes when fully masked-in) and prints ONE JSON line.
+One simulated hour of 20 mm/h storm rainfall on the paper case-study DEM
+(DATA/DEM/DEM_Ravone.flt, 4 m cells, 422k valid surface cells, ~4M nodes)
+— the reference's flagship problem (Sannino et al. 2025). Prints ONE JSON
+line with wall-clock seconds per simulated hour.
 
-Metric: wall-clock seconds per simulated hour (the reference's own headline
-quantity, BASELINE.md "wall-clock per simulated day" / 24). vs_baseline is the
-speedup vs the round-1 recorded value of this same benchmark (first round: 1.0).
+Implementation notes:
+* the whole state setup is one jitted function — per-op eager dispatch over
+  the remote-TPU tunnel costs ~1 s/op and would dominate otherwise;
+* a persistent compilation cache in .jax_cache makes repeat runs skip most
+  of the (remote) compile;
+* vs_baseline is the speedup vs the round-1 recorded value of this same
+  benchmark (first recording: 1.0).
 """
 
 import dataclasses
@@ -14,69 +19,93 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 RAVONE = "/root/reference/DATA/DEM/DEM_Ravone.flt"
-BASELINE_WALL_S = 276.9  # round-1 recorded wall-clock [s] per simulated hour
+BASELINE_WALL_S = 47.1   # round-1 recorded wall-clock [s] per simulated hour
 
 
-def build_ravone(total_depth=0.8):
-    from criteria3d_tpu import Grid, SoilFields, SolverParameters, WaterState
+def build_grid(coarsen=1):
+    from criteria3d_tpu import Grid, SoilFields
     from criteria3d_tpu.io.esri import read_flt
-    from criteria3d_tpu.solver.step import initialize_balance
 
     dem, hdr = read_flt(RAVONE)
+    if coarsen > 1:
+        R, C = dem.shape
+        dem = dem[:R - R % coarsen, :C - C % coarsen]
+        blocks = dem.reshape(dem.shape[0] // coarsen, coarsen,
+                             dem.shape[1] // coarsen, coarsen)
+        valid = ~np.isclose(blocks, hdr.nodata)
+        s = np.where(valid, blocks, 0.0).sum(axis=(1, 3))
+        n = valid.sum(axis=(1, 3))
+        dem = np.where(n > coarsen * coarsen // 2,
+                       s / np.maximum(n, 1), hdr.nodata)
+
     # clay-loam-ish soil of the Ravone landslide study
     soil = SoilFields.uniform(dem.shape, vg_alpha=1.0, vg_n=1.35, vg_he=0.02,
                               theta_s=0.44, theta_r=0.06, k_sat=2e-6)
-    grid = Grid.build(dem, hdr.cellsize, soil, total_depth=total_depth,
+    grid = Grid.build(dem, hdr.cellsize * coarsen, soil, total_depth=0.8,
                       min_thickness=0.04, max_thickness=0.25,
                       max_thickness_depth=0.6)
-    params = SolverParameters()
-    state = WaterState.initialize(grid, params, matric_potential=-2.0)
-    state = initialize_balance(grid, params, state)
-
-    # 20 mm/h storm on the whole catchment
-    rain = 0.020 * float(grid.area) / 3600.0
-    sink = jnp.zeros_like(state.sink_source)
-    sink = sink.at[0].set(jnp.where(grid.mask[0], rain, 0.0))
-    state = dataclasses.replace(state, sink_source=sink)
-    return grid, params, state
+    return grid
 
 
 def main():
-    from criteria3d_tpu import compute_period, compute_step
+    from criteria3d_tpu import SolverParameters, WaterState, compute_period
+    from criteria3d_tpu.solver.step import initialize_balance
 
-    grid, params, state = build_ravone()
-    n_nodes = grid.n_nodes
+    t_start = time.time()
+    coarsen = int(os.environ.get("BENCH_COARSEN", "1"))
+    grid = build_grid(coarsen)
+    params = SolverParameters()
 
-    # warm-up: compile both programs and run one real step
+    @partial(jax.jit, static_argnames=("p",))
+    def init_state(g, p):
+        state = WaterState.initialize(g, p, matric_potential=-2.0)
+        state = initialize_balance(g, p, state)
+        rain = 0.020 * g.area / 3600.0      # 20 mm/h storm
+        sink = jnp.zeros_like(state.sink_source)
+        sink = sink.at[0].set(jnp.where(g.mask[0], rain, 0.0))
+        return dataclasses.replace(state, sink_source=sink)
+
+    state = init_state(grid, params)
+    jax.block_until_ready(state.h)
+    setup_s = time.time() - t_start
+
+    # compile the period program (cached across runs)
     t0 = time.time()
-    wstate, dt = compute_step(grid, params, state, 3600.0)
-    jax.block_until_ready(wstate.h)
+    compiled = compute_period.lower(grid, params, state, 3600.0).compile()
     compile_s = time.time() - t0
 
     # measured run: one simulated hour from the initial state
     t0 = time.time()
-    out = compute_period(grid, params, state, 3600.0)
+    out = compiled(grid, state, 3600.0)
     jax.block_until_ready(out.h)
     wall_s = time.time() - t0
 
-    mbr = float(out.balance_whole.mbr)
     result = {
         "metric": "ravone_wallclock_s_per_sim_hour",
         "value": round(wall_s, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_WALL_S / wall_s, 3),
-        "n_nodes": n_nodes,
+        "n_nodes": grid.n_nodes,
+        "coarsen": coarsen,
+        "setup_s": round(setup_s, 1),
         "compile_s": round(compile_s, 1),
-        "whole_period_mbr": mbr,
+        "whole_period_mbr": float(out.balance_whole.mbr),
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(result))
