@@ -90,10 +90,13 @@ def main():
     compiled = compute_period.lower(grid, params, state, 3600.0).compile()
     compile_s = time.time() - t0
 
-    # measured run: one simulated hour from the initial state
+    # measured run: one simulated hour from the initial state.
+    # A device->host scalar read is the fence — on the remote-TPU platform
+    # block_until_ready alone does not guarantee execution finished.
     t0 = time.time()
     out = compiled(grid, state, 3600.0)
-    jax.block_until_ready(out.h)
+    mbr_value = float(out.balance_whole.mbr)
+    _ = float(out.h[0, 0, 0])
     wall_s = time.time() - t0
 
     result = {
@@ -105,7 +108,7 @@ def main():
         "coarsen": coarsen,
         "setup_s": round(setup_s, 1),
         "compile_s": round(compile_s, 1),
-        "whole_period_mbr": float(out.balance_whole.mbr),
+        "whole_period_mbr": mbr_value,
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(result))

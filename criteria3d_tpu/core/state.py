@@ -39,6 +39,13 @@ class SolverParameters:
     heat_weight_factor: float = 0.5
     courant_threshold: float = 0.5     # Δt growth gate
     instability_factor: float = 10.0
+    # Reproduce the reference's integer-abs quirk in the surface-Courant
+    # velocity: water.cpp:477 computes `dH = abs(Hi - Hj)` with C's int abs,
+    # truncating sub-metre head differences to zero, so the reference's
+    # surface Courant limiter almost never fires. True (default) matches the
+    # reference's trajectories (required for field-level parity); False uses
+    # the physically-intended fractional head difference.
+    courant_reference_compat: bool = True
     dtype: type = jnp.float64
 
     def max_iterations_for(self, approx: int | jax.Array):

@@ -252,8 +252,13 @@ def _lateral_conductances(grid: Grid, params: SolverParameters,
         invalid = (hs <= EPSILON_METER) | (rough_ij <= 0.0)
         a_surface = jnp.where(invalid, 0.0, a_surface)
 
-        # Courant: Manning velocity × dt / dx
+        # Courant: Manning velocity × dt / dx.
+        # The reference computes dH with C's integer abs (water.cpp:477),
+        # truncating |dH| < 1 m to zero — reproduced when
+        # courant_reference_compat is set (see SolverParameters).
         dh_ij = jnp.abs(hi - hj)
+        if params.courant_reference_compat:
+            dh_ij = jnp.trunc(dh_ij)
         slope = jnp.where(dh_ij > EPSILON_METER, dh_ij / dxy, 0.0)
         v = hs23 * jnp.sqrt(slope) / rough_ij
         cour = jnp.where(invalid | ~nbr_ok[0] | ~grid.mask[0], 0.0, v * dt / dxy)

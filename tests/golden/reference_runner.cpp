@@ -1,0 +1,193 @@
+// Golden-data generator: drives the REFERENCE soilFluxes3D solver
+// (compiled unmodified from /root/reference) over a topology file produced
+// by criteria3d_tpu's grid builder, and dumps per-node total potential after
+// each simulated hour. The dumps are the cross-implementation oracle for
+// tests/test_reference_parity.py (SURVEY.md §4: allclose against reference
+// state dumps).
+//
+// Topology file format (text, '#' comments):
+//   NODES <n> <nrSurface> <nrLateralLinks>
+//   <index> <x> <y> <z> <volume> <isSurface> <btype> <slope> <barea>
+//        <soilIdx> <horIdx> <surfIdx> <pond> <psi0> <sink>
+//   LINKS <m>
+//   <node> <linked> <type:0=up,1=down,2=lateral> <area>
+//   SOILS <k>
+//   <soilIdx> <horIdx> <alpha> <n> <m> <he> <thetaR> <thetaS> <ksat> <L>
+//   SURFACES <k>
+//   <surfIdx> <roughness>
+//   PARAMS <dtMin> <dtMax> <maxIter> <maxApprox> <tolExp> <mbrExp> <lvRatio>
+//   HOURS <h>
+//
+// Output: one line per hour: "HOUR <i> <MBR>" then n lines "<index> <H>".
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <algorithm>
+#include <vector>
+
+#include "soilFluxes3D.h"
+
+namespace soilFluxes3D { inline namespace v2 {
+    extern nodesData_t nodeGrid;   // internal state, read for DT diagnostics
+}}
+
+using namespace soilFluxes3D::v2;
+
+static void die(const char* msg) {
+    std::fprintf(stderr, "reference_runner: %s\n", msg);
+    std::exit(1);
+}
+
+static void check(SF3Derror_t err, const char* what) {
+    if (err != SF3Derror_t::SF3Dok) {
+        std::fprintf(stderr, "reference_runner: %s failed (%d)\n", what,
+                     (int)castToUnderlyingType(err));
+        std::exit(1);
+    }
+}
+
+int main(int argc, char** argv) {
+    if (argc < 3) die("usage: reference_runner topology.txt output.txt");
+    FILE* f = std::fopen(argv[1], "r");
+    if (!f) die("cannot open topology file");
+    FILE* out = std::fopen(argv[2], "w");
+    if (!out) die("cannot open output file");
+
+    char tag[64];
+    unsigned n, nSurf, nLat;
+    if (std::fscanf(f, "%63s %u %u %u", tag, &n, &nSurf, &nLat) != 4
+        || std::strcmp(tag, "NODES") != 0)
+        die("bad NODES header");
+
+    struct NodeRec {
+        unsigned idx; double x, y, z, vol; int isSurf, btype;
+        double slope, barea; int soilIdx, horIdx, surfIdx;
+        double pond, psi0, sink;
+    };
+    std::vector<NodeRec> nodes(n);
+    for (unsigned i = 0; i < n; ++i) {
+        NodeRec& r = nodes[i];
+        if (std::fscanf(f, "%u %lf %lf %lf %lf %d %d %lf %lf %d %d %d %lf %lf %lf",
+                        &r.idx, &r.x, &r.y, &r.z, &r.vol, &r.isSurf, &r.btype,
+                        &r.slope, &r.barea, &r.soilIdx, &r.horIdx, &r.surfIdx,
+                        &r.pond, &r.psi0, &r.sink) != 15)
+            die("bad node record");
+    }
+
+    unsigned m;
+    if (std::fscanf(f, "%63s %u", tag, &m) != 2 || std::strcmp(tag, "LINKS"))
+        die("bad LINKS header");
+    struct LinkRec { unsigned a, b; int type; double area; };
+    std::vector<LinkRec> links(m);
+    for (unsigned i = 0; i < m; ++i)
+        if (std::fscanf(f, "%u %u %d %lf", &links[i].a, &links[i].b,
+                        &links[i].type, &links[i].area) != 4)
+            die("bad link record");
+
+    unsigned nSoil;
+    if (std::fscanf(f, "%63s %u", tag, &nSoil) != 2 || std::strcmp(tag, "SOILS"))
+        die("bad SOILS header");
+    struct SoilRec { int s, h; double alpha, nn, mm, he, tr, ts, ks, L; };
+    std::vector<SoilRec> soils(nSoil);
+    for (unsigned i = 0; i < nSoil; ++i)
+        if (std::fscanf(f, "%d %d %lf %lf %lf %lf %lf %lf %lf %lf",
+                        &soils[i].s, &soils[i].h, &soils[i].alpha, &soils[i].nn,
+                        &soils[i].mm, &soils[i].he, &soils[i].tr, &soils[i].ts,
+                        &soils[i].ks, &soils[i].L) != 10)
+            die("bad soil record");
+
+    unsigned nSurfTypes;
+    if (std::fscanf(f, "%63s %u", tag, &nSurfTypes) != 2
+        || std::strcmp(tag, "SURFACES"))
+        die("bad SURFACES header");
+    std::vector<std::pair<int, double>> surfaces(nSurfTypes);
+    for (unsigned i = 0; i < nSurfTypes; ++i)
+        if (std::fscanf(f, "%d %lf", &surfaces[i].first,
+                        &surfaces[i].second) != 2)
+            die("bad surface record");
+
+    double dtMin, dtMax, lvRatio;
+    unsigned maxIter, maxApprox, tolExp, mbrExp;
+    if (std::fscanf(f, "%63s %lf %lf %u %u %u %u %lf", tag, &dtMin, &dtMax,
+                    &maxIter, &maxApprox, &tolExp, &mbrExp, &lvRatio) != 8
+        || std::strcmp(tag, "PARAMS"))
+        die("bad PARAMS header");
+
+    unsigned hours;
+    if (std::fscanf(f, "%63s %u", tag, &hours) != 2 || std::strcmp(tag, "HOURS"))
+        die("bad HOURS header");
+    std::fclose(f);
+
+    // ---- build the model through the public API ----
+    check(initializeSF3D(n, nSurf, (u8_t)nLat, true, false, false),
+          "initializeSF3D");
+    setThreadsNumber(2);
+
+    for (auto& s : soils)
+        check(setSoilProperties((u16_t)s.s, (u8_t)s.h, s.alpha, s.nn, s.mm,
+                                s.he, s.tr, s.ts, s.ks, s.L, 0.02, 25.0),
+              "setSoilProperties");
+    for (auto& s : surfaces)
+        check(setSurfaceProperties((u16_t)s.first, s.second),
+              "setSurfaceProperties");
+
+    check(setNumericalParameters(dtMin, dtMax, (u16_t)maxIter, (u16_t)maxApprox,
+                                 (u8_t)tolExp, (u8_t)mbrExp),
+          "setNumericalParameters");
+    check(setHydraulicProperties(WRCModel::ModifiedVanGenuchten,
+                                 meanType_t::Logarithmic, (float)lvRatio),
+          "setHydraulicProperties");
+
+    for (auto& r : nodes)
+        check(setNode(r.idx, r.x, r.y, r.z, r.vol, r.isSurf != 0,
+                      (boundaryType_t)r.btype, r.slope, r.barea),
+              "setNode");
+    for (auto& l : links) {
+        linkType_t t = l.type == 0 ? linkType_t::Up
+                     : l.type == 1 ? linkType_t::Down : linkType_t::Lateral;
+        check(setNodeLink(l.a, l.b, t, l.area), "setNodeLink");
+    }
+    for (auto& r : nodes) {
+        if (r.isSurf) {
+            check(setNodeSurface(r.idx, (u16_t)r.surfIdx), "setNodeSurface");
+            check(setNodePond(r.idx, r.pond), "setNodePond");
+        } else {
+            check(setNodeSoil(r.idx, (u16_t)r.soilIdx, (u16_t)r.horIdx),
+                  "setNodeSoil");
+        }
+        check(setNodeMatricPotential(r.idx, r.psi0), "setNodeMatricPotential");
+        check(setNodeWaterSinkSource(r.idx, r.sink), "setNodeWaterSinkSource");
+    }
+
+    check(initializeBalance(), "initializeBalance");
+
+    const bool debugDt = std::getenv("REF_DEBUG_DT") != nullptr;
+    for (unsigned h = 0; h < hours; ++h) {
+        if (debugDt) {
+            // computePeriod inlined so each accepted dt can be reported
+            double sum = 0.0;
+            while (sum < 3600.0) {
+                double dt = computeStep(3600.0 - sum);
+                sum += dt;
+                double maxSw = 0.0;
+                for (unsigned i = 0; i < nSurf; ++i)
+                    maxSw = std::max(maxSw, getNodeWaterContent(i));
+                std::fprintf(stderr, "DT %g courant %g maxSw_mm %g\n", dt,
+                             nodeGrid.CourantWater, maxSw * 1000.0);
+                for (unsigned i = 0; i < n; ++i)
+                    std::fprintf(stderr, "S %u %.17g\n", i,
+                                 getNodeTotalPotential(i));
+            }
+        } else {
+            computePeriod(3600.0);
+        }
+        std::fprintf(out, "HOUR %u %.17g\n", h, getWaterMBR());
+        for (unsigned i = 0; i < n; ++i)
+            std::fprintf(out, "%u %.17g\n", i, getNodeTotalPotential(i));
+    }
+    std::fclose(out);
+    cleanSF3D();
+    return 0;
+}

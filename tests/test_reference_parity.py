@@ -1,0 +1,140 @@
+"""Cross-implementation parity: our solver vs the REFERENCE CPU solver.
+
+The reference soilFluxes3D (pure C++17, no Qt) is compiled unmodified from
+/root/reference and driven over the exact node graph our grid builder
+produces (tests/golden/export_topology.py); per-hour total potential fields
+must agree. This is oracle (c) of SURVEY.md §4 — the strongest correctness
+evidence available, mirroring the reference's own CPU-vs-GPU dual
+implementation pattern.
+
+Tolerances: both codes implement the same Picard+Jacobi iteration in f64,
+but floating-point summation order differs and the adaptive-Δt control flow
+makes trajectories sensitive to it; agreement is expected at the level the
+reference's own CPU/GPU pair agrees (sub-mm in head), not bitwise.
+"""
+
+import dataclasses
+import os
+import subprocess
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from criteria3d_tpu import (Grid, SoilFields, SolverParameters, WaterState,
+                            compute_period)
+from criteria3d_tpu.solver.step import initialize_balance
+
+from tests.golden.export_topology import export_topology, node_index_map
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+BUILD_DIR = "/tmp/refsolver"
+RUNNER = os.path.join(BUILD_DIR, "reference_runner")
+REF_AVAILABLE = os.path.exists("/root/reference/agrolib/soilFluxes3D")
+
+
+def ensure_runner():
+    if os.path.exists(RUNNER):
+        return True
+    if not REF_AVAILABLE:
+        return False
+    r = subprocess.run([os.path.join(GOLDEN_DIR, "build_reference.sh"),
+                        BUILD_DIR], capture_output=True, text=True)
+    return r.returncode == 0 and os.path.exists(RUNNER)
+
+
+def run_reference(topo_path, out_path):
+    r = subprocess.run([RUNNER, topo_path, out_path], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    hours = {}
+    with open(out_path) as f:
+        current = None
+        for line in f:
+            parts = line.split()
+            if parts[0] == "HOUR":
+                current = int(parts[1])
+                hours[current] = {}
+            else:
+                hours[current][int(parts[0])] = float(parts[1])
+    return hours
+
+
+def case_column(free_drainage=True, rain=0.0):
+    dem = np.zeros((1, 1))
+    soil = SoilFields.uniform((1, 1), vg_alpha=1.4, vg_n=1.6, vg_he=0.02,
+                              theta_s=0.43, theta_r=0.05, k_sat=1e-5)
+    grid = Grid.build(dem, 2.0, soil, total_depth=0.8,
+                      free_catchment_runoff=False,
+                      free_bottom_drainage=free_drainage,
+                      free_lateral_drainage=False)
+    params = SolverParameters()
+    psi0 = np.full(grid.shape, -1.0)
+    psi0[0] = 0.0   # surface nodes start dry (initializeWaterContent semantics)
+    sink = np.zeros(grid.shape)
+    sink[0] = rain * float(grid.area) / 3600.0 / 1000.0  # [mm/h]->[m3/s]
+    return grid, params, psi0, sink
+
+
+def case_hillslope(n=6, rain=5.0):
+    rows, cols = np.mgrid[0:n, 0:n]
+    dem = 50.0 + (n - 1 - rows) * 0.3
+    soil = SoilFields.uniform(dem.shape, vg_alpha=1.2, vg_n=1.5, vg_he=0.02,
+                              theta_s=0.41, theta_r=0.04, k_sat=5e-6)
+    grid = Grid.build(dem, 5.0, soil, total_depth=0.5)
+    params = SolverParameters()
+    psi0 = np.full(grid.shape, -1.5)
+    psi0[0] = 0.0
+    sink = np.zeros(grid.shape)
+    sink[0] = np.where(np.asarray(grid.mask[0]),
+                       rain * float(grid.area) / 3600.0 / 1000.0, 0.0)
+    return grid, params, psi0, sink
+
+
+def compare(grid, params, psi0, sink, hours, tmp_path, name, atol):
+    topo = str(tmp_path / f"{name}.txt")
+    out = str(tmp_path / f"{name}_out.txt")
+    idx = export_topology(topo, grid, psi0, sink, params, hours)
+    ref = run_reference(topo, out)
+
+    state = WaterState.initialize(grid, params,
+                                  matric_potential=jnp.asarray(psi0))
+    state = initialize_balance(grid, params, state)
+    state = dataclasses.replace(state, sink_source=jnp.asarray(sink))
+
+    mask = np.asarray(grid.mask)
+    max_err = 0.0
+    for h in range(hours):
+        state = compute_period(grid, params, state, 3600.0)
+        ours = np.asarray(state.h)
+        ref_h = ref[h]
+        for (l, r, c) in zip(*np.nonzero(mask)):
+            i = idx[l, r, c]
+            err = abs(ours[l, r, c] - ref_h[i])
+            max_err = max(max_err, err)
+    assert max_err < atol, f"{name}: max |H - H_ref| = {max_err:.3e} m"
+    return max_err
+
+
+@pytest.mark.skipif(not REF_AVAILABLE, reason="reference tree not mounted")
+class TestReferenceParity:
+
+    @classmethod
+    def setup_class(cls):
+        if not ensure_runner():
+            pytest.skip("reference solver build failed")
+
+    def test_column_drainage(self, tmp_path):
+        grid, params, psi0, sink = case_column(free_drainage=True)
+        compare(grid, params, psi0, sink, 3, tmp_path, "column_drain",
+                atol=1e-6)
+
+    def test_column_infiltration(self, tmp_path):
+        grid, params, psi0, sink = case_column(free_drainage=False, rain=8.0)
+        compare(grid, params, psi0, sink, 3, tmp_path, "column_rain",
+                atol=1e-6)
+
+    def test_hillslope_storm(self, tmp_path):
+        grid, params, psi0, sink = case_hillslope(rain=10.0)
+        compare(grid, params, psi0, sink, 2, tmp_path, "hillslope",
+                atol=1e-6)
