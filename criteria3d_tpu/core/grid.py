@@ -100,6 +100,15 @@ class Grid:
     def surface_mask(self):
         return self.mask[0]
 
+    def astype(self, dtype) -> "Grid":
+        """Cast all floating-point fields (e.g. to float32 for the
+        mixed-precision fast mode, SolverParameters.fast_f32)."""
+        def cast(a):
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+                return a.astype(dtype)
+            return a
+        return jax.tree.map(cast, self)
+
     # ------------------------------------------------------------------
     @staticmethod
     def build(dem: np.ndarray,

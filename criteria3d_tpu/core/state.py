@@ -47,12 +47,34 @@ class SolverParameters:
     # the physically-intended fractional head difference.
     courant_reference_compat: bool = True
     dtype: type = jnp.float64
+    # Inner Jacobi-sweep precision. None = same as dtype. float32 runs the
+    # hot sweeps on the native TPU VPU in psi-form (head offset from node
+    # elevation): neighbour head differences keep full precision because the
+    # large elevation component is folded into the f64-assembled RHS once per
+    # Picard iteration, not rounded every sweep.
+    sweep_dtype: type | None = None
 
     def max_iterations_for(self, approx: int | jax.Array):
         """(approx+1) * maxIter/maxApprox, min 25 (solver.h:55-59)."""
         per = jnp.float32(self.max_iterations) / jnp.float32(self.max_approximations)
         n = ((approx + 1) * per).astype(jnp.int32)
         return jnp.maximum(n, 25)
+
+    @staticmethod
+    def fast_f32(**overrides) -> "SolverParameters":
+        """Mixed-precision preset: f64 assembly + f32 psi-form Jacobi sweeps.
+
+        The reference is FP64 throughout (types_gpu.h:34). Here the hot inner
+        loop (hundreds of sweeps per Picard iteration) runs in float32 on the
+        native TPU VPU while assembly, mass balance and state stay f64;
+        float32 cannot reach the reference's 1e-10 residual so the inner
+        tolerance is relaxed to 1e-7 (the 1e-3 MBR acceptance gate — the
+        actual accuracy contract — is unchanged and evaluated in f64).
+        """
+        import jax.numpy as jnp
+        args = dict(sweep_dtype=jnp.float32, residual_tolerance=1e-7)
+        args.update(overrides)
+        return SolverParameters(**args)
 
     @staticmethod
     def from_model_accuracy(accuracy: int, cell_size: float) -> "SolverParameters":

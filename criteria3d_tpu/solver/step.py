@@ -65,9 +65,38 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
     Returns (x, diverged). Reference: solveLinearSystem
     (cpusolver.cpp:672-703) with the per-approximation iteration budget
     max(25, (approx+1)·maxIter/maxApprox) (solver.h:55-59).
+
+    When ``params.sweep_dtype`` is float32, the sweeps run in psi-form
+    (x = z + psi): the elevation part of the RHS is folded in once here (in
+    the assembly dtype), so neighbour differences inside the f32 hot loop
+    keep full precision over a catchment with hundreds of metres of relief.
     """
     max_iter = params.max_iterations_for(approx)
     tol = params.residual_tolerance
+
+    fast = (params.sweep_dtype is not None
+            and params.sweep_dtype != params.dtype)
+
+    if fast:
+        sd = params.sweep_dtype
+        # fold elevation into the RHS: psi' = b + sum c_j z_j - z + sum c_j psi_j
+        z = grid.z
+        b_psi = system.b - z
+        b_psi = b_psi + system.c_up * jnp.roll(z, 1, axis=0)
+        b_psi = b_psi + system.c_down * jnp.roll(z, -1, axis=0)
+        for idx, (di, dj) in enumerate(W.LATERAL_OFFSETS):
+            b_psi = b_psi + system.c_lat[idx] * W.shift2d(z, di, dj)
+        sweep_sys = W.LinearSystem(
+            b=b_psi.astype(sd),
+            c_up=system.c_up.astype(sd),
+            c_down=system.c_down.astype(sd),
+            c_lat=system.c_lat.astype(sd),
+            diag=system.diag, courant=system.courant)
+        x_init = (x0 - z).astype(sd)
+        tol = max(tol, 1e-7)
+    else:
+        sweep_sys = system
+        x_init = x0
 
     def cond(c):
         _, it, _, done, _ = c
@@ -75,16 +104,23 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
 
     def body(c):
         x, it, best, done, diverged = c
-        x_new, norm = W.jacobi_sweep(system, x, grid, grid.n_nodes)
+        if fast:
+            x_new, norm = W.jacobi_sweep_psi(sweep_sys, x, grid, grid.n_nodes)
+        else:
+            x_new, norm = W.jacobi_sweep(sweep_sys, x, grid, grid.n_nodes)
         converged = norm < tol
         div = jnp.logical_and(~converged, norm > best * 10.0)
         best = jnp.minimum(best, norm)
         return (x_new, it + 1, best, converged | div, div)
 
-    best0 = jnp.ones((), x0.dtype)
+    best0 = jnp.ones((), x_init.dtype)
     x, _, _, _, diverged = lax.while_loop(
-        cond, body, (x0, jnp.zeros((), jnp.int32), best0,
+        cond, body, (x_init, jnp.zeros((), jnp.int32), best0,
                      jnp.zeros((), bool), jnp.zeros((), bool)))
+
+    if fast:
+        x = grid.z + x.astype(params.dtype)
+        x = jnp.where(grid.mask, x, 0.0)
     return x, diverged
 
 

@@ -69,7 +69,11 @@ def total_water_content(grid: Grid, params: SolverParameters,
     theta = theta_from_se(grid.soil, se)
     soil = jnp.where(grid.mask, theta * grid.volume, 0.0)
     soil = soil.at[0].set(0.0)
-    return jnp.sum(surf) + jnp.sum(soil)
+    # balance sums always accumulate in f64 so the MBR acceptance gate keeps
+    # its meaning in float32 compute mode (mass closure is the acceptance
+    # criterion, types.h:293)
+    return (jnp.sum(surf, dtype=jnp.float64)
+            + jnp.sum(soil, dtype=jnp.float64)).astype(h.dtype)
 
 
 def update_boundary_water(grid: Grid, params: SolverParameters,
@@ -118,7 +122,7 @@ def update_boundary_water(grid: Grid, params: SolverParameters,
             grid.soil,
             se_from_psi(grid.soil, jnp.abs(boundary_psi), params.wrc_model),
             params.wrc_model))
-    mean_k = compute_mean(k_bound, jnp.maximum(k, 1e-300), params.mean_type)
+    mean_k = compute_mean(k_bound, jnp.maximum(k, 1e-30), params.mean_type)
     dh = grid.prescribed_h - h
     presc_rate = mean_k * grid.bsize * dh / Lb
 
@@ -166,7 +170,7 @@ def _vertical_conductance(grid: Grid, params: SolverParameters,
 
     # redistribution: logarithmic-mean K × area / dz
     k_above = jnp.roll(k, 1, axis=0)  # k[l-1]; wrapped l=0 row is masked out
-    mean_k = compute_mean(jnp.maximum(k, 1e-300), jnp.maximum(k_above, 1e-300),
+    mean_k = compute_mean(jnp.maximum(k, 1e-30), jnp.maximum(k_above, 1e-30),
                           params.mean_type)
     dist = jnp.where(grid.vert_dist > 0, grid.vert_dist, 1.0)
     a_redist = mean_k * grid.area / dist
@@ -189,7 +193,7 @@ def _vertical_conductance(grid: Grid, params: SolverParameters,
     max_inf_rate = surface_water / dt
     dh = jnp.maximum(surf_h - soil_h, 1e-12)
     max_k = max_inf_rate * dist01 / dh
-    mean_k01 = compute_mean(ksat1, jnp.maximum(k[1], 1e-300), params.mean_type)
+    mean_k01 = compute_mean(ksat1, jnp.maximum(k[1], 1e-30), params.mean_type)
     unsat_val = jnp.where(max_inf_rate < MIN_INFILTRATION_RATE, 0.0,
                           jnp.minimum(bf * mean_k01, max_k) * grid.area / dist01)
     infil = jnp.where(h[1] > grid.z[0], sat_val, unsat_val)
@@ -226,7 +230,7 @@ def _lateral_conductances(grid: Grid, params: SolverParameters,
     z_pond = grid.z[0] + pond
     rough = grid.roughness
 
-    k_soil = jnp.maximum(k * lvr, 1e-300)
+    k_soil = jnp.maximum(k * lvr, 1e-30)
 
     a_list = []
     courant = jnp.zeros((), h.dtype)
@@ -234,7 +238,7 @@ def _lateral_conductances(grid: Grid, params: SolverParameters,
         nbr_ok = shift2d(grid.mask, di, dj, fill=False)
 
         # --- soil lateral redistribution ---
-        k_nbr = jnp.maximum(shift2d(k, di, dj) * lvr, 1e-300)
+        k_nbr = jnp.maximum(shift2d(k, di, dj) * lvr, 1e-30)
         mean_k = compute_mean(k_soil, k_nbr, params.mean_type)
         dist3d = grid.lat_dist3d[idx]        # (R,C), layer independent
         a_soil = mean_k * grid.lat_area / dist3d
@@ -330,6 +334,30 @@ def jacobi_sweep(system: LinearSystem, x: jax.Array, grid: Grid,
     return x_new, norm
 
 
+def jacobi_sweep_psi(system: LinearSystem, psi: jax.Array, grid: Grid,
+                     n_nodes: int) -> tuple[jax.Array, jax.Array]:
+    """One Jacobi iteration in psi-form (x = z + psi), any dtype.
+
+    Same fixed point and norm as :func:`jacobi_sweep` — the surface clamp
+    x >= z becomes psi >= 0 and the 1/|psi| norm weight is direct. Used for
+    the float32 fast sweep path (SolverParameters.sweep_dtype).
+    """
+    acc = system.b
+    acc = acc + system.c_up * jnp.roll(psi, 1, axis=0)
+    acc = acc + system.c_down * jnp.roll(psi, -1, axis=0)
+    for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+        acc = acc + system.c_lat[idx] * shift2d(psi, di, dj)
+
+    psi_new = acc.at[0].set(jnp.maximum(acc[0], 0.0))
+    psi_new = jnp.where(grid.mask, psi_new, 0.0)
+
+    dx = jnp.abs(psi_new - psi)
+    apsi = jnp.abs(psi_new)
+    weight = jnp.where(apsi > 1.0, 1.0 / apsi, 1.0)
+    norm = jnp.sum(jnp.where(grid.mask, dx * weight, 0.0)) / n_nodes
+    return psi_new, norm
+
+
 def current_mass_balance(grid: Grid, params: SolverParameters,
                          h: jax.Array, se: jax.Array, water_flow: jax.Array,
                          prev_storage: jax.Array, dt: jax.Array):
@@ -339,7 +367,8 @@ def current_mass_balance(grid: Grid, params: SolverParameters,
     """
     storage = total_water_content(grid, params, h, se)
     delta_storage = storage - prev_storage
-    sink = jnp.sum(jnp.where(grid.mask, water_flow, 0.0)) * dt
+    sink = (jnp.sum(jnp.where(grid.mask, water_flow, 0.0),
+                    dtype=jnp.float64) * dt).astype(h.dtype)
     mbe = delta_storage - sink
 
     time_pct = 0.001 * jnp.maximum(dt, 30.0) / 3600.0
