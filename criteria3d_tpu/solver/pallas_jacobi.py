@@ -1,0 +1,160 @@
+"""Pallas TPU kernel: bundled Jacobi sweeps with VMEM-resident coefficients.
+
+The XLA path reads the 11 stencil-coefficient arrays + x from HBM on every
+sweep (~13 array passes/sweep). This kernel is the TPU-native analogue of
+the reference's fused CUDA SpMV loop (gpusolver.cpp:296-365): it tiles the
+(L, R, C) box over row slabs, DMAs each slab's coefficients into VMEM once,
+and runs K Jacobi sweeps on-chip before writing back — cutting HBM traffic
+per sweep to ~(12/K + 2) passes.
+
+Correctness of the bundling: each slab carries a halo of K rows; after s
+sweeps only rows within distance s of the slab edge are stale, so the
+central TR rows are exact after K sweeps (redundant-halo / communication-
+avoiding scheme). Out-of-domain cells hold zero coefficients, so wrap-around
+reads contribute nothing.
+
+Semantics vs the reference: identical fixed point; convergence/divergence is
+checked every K sweeps instead of every sweep (a converged system may run up
+to K-1 extra no-op sweeps). Used only on the float32 psi-form fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["jacobi_bundle", "SWEEPS_PER_BUNDLE"]
+
+SWEEPS_PER_BUNDLE = 6
+_TR = 16          # output rows per slab
+
+
+def _roll2(x, shift, axis):
+    return pltpu.roll(x, shift=shift, axis=axis)
+
+
+def _kernel(b_ref, cu_ref, cd_ref, clat_ref, mask_ref, x_ref,
+            out_ref, norm_ref, *, K: int, TR: int, L: int, C: int):
+    i = pl.program_id(0)
+    slab_rows = TR + 2 * K
+
+    def body(slab, sem):
+        # DMA the slab (all inputs share the row window [i*TR, i*TR+slab_rows))
+        row0 = i * TR
+        copies = [
+            pltpu.make_async_copy(b_ref.at[:, pl.ds(row0, slab_rows), :],
+                                  slab.at[0], sem.at[0]),
+            pltpu.make_async_copy(cu_ref.at[:, pl.ds(row0, slab_rows), :],
+                                  slab.at[1], sem.at[1]),
+            pltpu.make_async_copy(cd_ref.at[:, pl.ds(row0, slab_rows), :],
+                                  slab.at[2], sem.at[2]),
+            pltpu.make_async_copy(mask_ref.at[:, pl.ds(row0, slab_rows), :],
+                                  slab.at[3], sem.at[3]),
+            pltpu.make_async_copy(x_ref.at[:, pl.ds(row0, slab_rows), :],
+                                  slab.at[4], sem.at[4]),
+        ]
+        for kk in range(8):
+            copies.append(pltpu.make_async_copy(
+                clat_ref.at[kk, :, pl.ds(row0, slab_rows), :],
+                slab.at[5 + kk], sem.at[5 + kk]))
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        b = slab[0]
+        cu = slab[1]
+        cd = slab[2]
+        mask = slab[3]
+
+        # lateral neighbour offsets must match shifts.LATERAL_OFFSETS:
+        # (-1,0),(1,0),(0,-1),(0,1),(-1,-1),(-1,1),(1,-1),(1,1)
+        offsets = ((-1, 0), (1, 0), (0, -1), (0, 1),
+                   (-1, -1), (-1, 1), (1, -1), (1, 1))
+
+        def sweep(x):
+            acc = b
+            acc = acc + cu * _roll2(x, 1, 0)     # x[l-1]
+            acc = acc + cd * _roll2(x, -1, 0)    # x[l+1]
+            for kk, (dr, dc) in enumerate(offsets):
+                nb = x
+                if dr != 0:
+                    nb = _roll2(nb, -dr, 1)
+                if dc != 0:
+                    nb = _roll2(nb, -dc, 2)
+                acc = acc + slab[5 + kk] * nb
+            # surface clamp: psi >= 0 on layer 0 (x >= z in head form)
+            surf = jnp.maximum(acc[0:1], 0.0)
+            acc = jnp.concatenate([surf, acc[1:]], axis=0)
+            return acc * mask
+
+        x = slab[4]
+        for s in range(K - 1):
+            x = sweep(x)
+        x_prev = x
+        x = sweep(x)
+
+        # psi-weighted L1 norm of the LAST sweep, central rows only
+        dx = jnp.abs(x - x_prev)
+        apsi = jnp.abs(x)
+        w = jnp.where(apsi > 1.0, 1.0 / apsi, 1.0)
+        contrib = (dx * w * mask)[:, K:K + TR, :]
+        norm_ref[0, 0] = jnp.sum(contrib)
+
+        out_ref[:, :, :] = x[:, K:K + TR, :]
+
+    pl.run_scoped(
+        body,
+        slab=pltpu.VMEM((13, L, slab_rows, C), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((13,)),
+    )
+
+
+def jacobi_bundle(b, c_up, c_down, c_lat, mask_f, x,
+                  K: int = SWEEPS_PER_BUNDLE, TR: int = _TR):
+    """Run K Jacobi sweeps; returns (x_new, last_sweep_norm_sum).
+
+    All arrays float32; b/c_up/c_down/mask_f/x are (L, R, C), c_lat is
+    (8, L, R, C). R and C need not be aligned — padding is applied here.
+    """
+    L, R, C = x.shape
+    # pad rows so R is a multiple of TR, plus K halo rows on both sides;
+    # pad C to the f32 lane tile (128)
+    Rp = ((R + TR - 1) // TR) * TR
+    Cp = ((C + 127) // 128) * 128
+    pr = Rp - R
+    pc = Cp - C
+
+    def pad3(a):
+        return jnp.pad(a, ((0, 0), (K, K + pr), (0, pc)))
+
+    def pad4(a):
+        return jnp.pad(a, ((0, 0), (0, 0), (K, K + pr), (0, pc)))
+
+    b_p, cu_p, cd_p, m_p, x_p = (pad3(a) for a in (b, c_up, c_down, mask_f, x))
+    cl_p = pad4(c_lat)
+
+    nblocks = Rp // TR
+    kernel = functools.partial(_kernel, K=K, TR=TR, L=L, C=Cp)
+
+    out, norms = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        out_specs=[
+            pl.BlockSpec((L, TR, Cp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, Rp, Cp), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks, 1), jnp.float32),
+        ],
+    )(b_p, cu_p, cd_p, m_p, x_p, cl_p)
+
+    return out[:, :R, :C], jnp.sum(norms)
