@@ -1,0 +1,182 @@
+"""Model output variables, output points and raster export.
+
+Mirrors the reference's output subsystem:
+
+* ``criteria3DVariable`` (agrolib/meteo/meteo.h:110-114) becomes
+  :class:`OutputVariable`; :func:`compute_variable_map` is the analogue of
+  Project3D::computeCriteria3DMap (project3D.cpp:1896-1960) producing a 2-D
+  raster of one variable at one layer;
+* output points (agrolib/outputPoints): CSV point lists + per-point time
+  series appended to CSV/SQLite (writeOutputPointsData,
+  criteria3DProject.cpp:1274-1283);
+* hourly/daily output rasters at the depths configured in the project ini
+  ([output] lists, Montue.ini:32-36) via the ESRI writer.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import enum
+import os
+import sqlite3
+
+import jax.numpy as jnp
+import numpy as np
+
+from criteria3d_tpu.constants import NODATA
+from criteria3d_tpu.core.grid import Grid
+from criteria3d_tpu.core.soil import theta_from_se
+from criteria3d_tpu.core.state import SolverParameters, WaterState
+from criteria3d_tpu.io.esri import RasterHeader, write_flt
+
+__all__ = ["OutputVariable", "compute_variable_map", "layer_index_for_depth",
+           "OutputPoints", "write_output_rasters"]
+
+
+class OutputVariable(enum.Enum):
+    """criteria3DVariable (meteo.h:110-114)."""
+
+    VOLUMETRIC_WATER_CONTENT = "waterContent"
+    WATER_TOTAL_POTENTIAL = "waterTotalPotential"
+    WATER_MATRIC_POTENTIAL = "waterPotential"
+    DEGREE_OF_SATURATION = "degreeOfSaturation"
+    SOIL_TEMPERATURE = "soilTemperature"
+    SURFACE_WATER_LEVEL = "surfaceWaterLevel"
+    FACTOR_OF_SAFETY = "factorOfSafety"
+
+
+def layer_index_for_depth(grid: Grid, depth_cm: float) -> int:
+    """Layer whose span contains the given depth (getSoilLayerIndex)."""
+    depth = depth_cm / 100.0
+    depths = np.asarray(grid.layer_depth)
+    thicks = np.asarray(grid.layer_thickness)
+    for l in range(1, grid.n_layers):
+        if depths[l] - thicks[l] / 2 - 1e-9 <= depth <= depths[l] + thicks[l] / 2 + 1e-9:
+            return l
+    return int(np.argmin(np.abs(depths[1:] - depth)) + 1)
+
+
+def compute_variable_map(grid: Grid, params: SolverParameters,
+                         water: WaterState, var: OutputVariable,
+                         layer: int = 0, *, heat=None, slope_deg=None
+                         ) -> np.ndarray:
+    """(R, C) float map of one output variable at one layer, NODATA outside.
+
+    Analogue of computeCriteria3DMap (project3D.cpp:1896-1960).
+    """
+    mask = np.asarray(grid.mask[layer])
+
+    if var == OutputVariable.SURFACE_WATER_LEVEL:
+        data = np.asarray(water.surface_water_level(grid)) * 1000.0   # [mm]
+        mask = np.asarray(grid.mask[0])
+    elif var == OutputVariable.VOLUMETRIC_WATER_CONTENT:
+        theta = theta_from_se(grid.soil, water.se)
+        data = np.asarray(theta[layer])
+    elif var == OutputVariable.WATER_TOTAL_POTENTIAL:
+        data = np.asarray(water.h[layer])
+    elif var == OutputVariable.WATER_MATRIC_POTENTIAL:
+        data = np.asarray(water.h[layer] - grid.z[layer])
+    elif var == OutputVariable.DEGREE_OF_SATURATION:
+        data = np.asarray(water.se[layer])
+    elif var == OutputVariable.SOIL_TEMPERATURE:
+        if heat is None:
+            raise ValueError("soilTemperature requires the heat state")
+        data = np.asarray(heat.t[layer])
+    elif var == OutputVariable.FACTOR_OF_SAFETY:
+        from criteria3d_tpu.physics.crop import factor_of_safety
+        if slope_deg is None:
+            slope_deg = jnp.zeros(grid.shape[1:])
+        fos = factor_of_safety(grid, params, water.h, water.se, slope_deg)
+        data = np.asarray(fos[layer])
+    else:
+        raise ValueError(var)
+
+    return np.where(mask, data, NODATA)
+
+
+@dataclasses.dataclass
+class OutputPoints:
+    """Output point set + time-series writer (agrolib/outputPoints).
+
+    Points are (id, row, col) on the model grid; CSV lists with utm
+    coordinates (outputPoints.h:9-15) are supported through ``from_csv``.
+    """
+
+    ids: list
+    rows: list
+    cols: list
+
+    @staticmethod
+    def from_csv(path: str, grid: Grid, xll=0.0, yll=0.0) -> "OutputPoints":
+        ids, rows, cols = [], [], []
+        R = grid.shape[1]
+        with open(path) as f:
+            for rec in csv.DictReader(f):
+                x = float(rec.get("utm_x", rec.get("x", 0)))
+                y = float(rec.get("utm_y", rec.get("y", 0)))
+                col = int((x - xll) / grid.cell_size)
+                row = R - 1 - int((y - yll) / grid.cell_size)
+                if 0 <= row < R and 0 <= col < grid.shape[2]:
+                    ids.append(rec.get("id", str(len(ids))))
+                    rows.append(row)
+                    cols.append(col)
+        return OutputPoints(ids, rows, cols)
+
+    def write_hour(self, db_path: str, time_str: str, grid: Grid,
+                   params: SolverParameters, water: WaterState,
+                   variables: dict[OutputVariable, list[int]],
+                   extra_maps: dict[str, np.ndarray] | None = None) -> None:
+        """Append one hour of values for every point into SQLite
+        (dbOutputPointsHandler analogue): one table per point id."""
+        con = sqlite3.connect(db_path)
+        cur = con.cursor()
+
+        columns = ["time TEXT PRIMARY KEY"]
+        values_by_point = {pid: {} for pid in self.ids}
+        for var, depths in variables.items():
+            for d in depths:
+                layer = layer_index_for_depth(grid, d) if d > 0 else 0
+                name = f"{var.value}_{d}"
+                columns.append(f'"{name}" REAL')
+                vmap = compute_variable_map(grid, params, water, var, layer)
+                for pid, r, c in zip(self.ids, self.rows, self.cols):
+                    values_by_point[pid][name] = float(vmap[r, c])
+        if extra_maps:
+            for name, vmap in extra_maps.items():
+                columns.append(f'"{name}" REAL')
+                for pid, r, c in zip(self.ids, self.rows, self.cols):
+                    values_by_point[pid][name] = float(np.asarray(vmap)[r, c])
+
+        for pid in self.ids:
+            table = f"point_{pid}"
+            cur.execute(f'CREATE TABLE IF NOT EXISTS "{table}" '
+                        f'({", ".join(columns)})')
+            names = list(values_by_point[pid].keys())
+            cur.execute(
+                f'INSERT OR REPLACE INTO "{table}" (time, '
+                + ", ".join(f'"{n}"' for n in names) + ") VALUES (?"
+                + ", ?" * len(names) + ")",
+                [time_str] + [values_by_point[pid][n] for n in names])
+        con.commit()
+        con.close()
+
+
+def write_output_rasters(out_dir: str, time_tag: str, grid: Grid,
+                         params: SolverParameters, water: WaterState,
+                         variables: dict[OutputVariable, list[int]]) -> list[str]:
+    """Write one ESRI raster per (variable, depth), named
+    ``<var>_<depthCm>_<time>`` like the reference's hourly output maps."""
+    os.makedirs(out_dir, exist_ok=True)
+    R, C = grid.shape[1:]
+    hdr = RasterHeader(nrows=R, ncols=C, xllcorner=0, yllcorner=0,
+                       cellsize=grid.cell_size, nodata=NODATA)
+    written = []
+    for var, depths in variables.items():
+        for d in depths:
+            layer = layer_index_for_depth(grid, d) if d > 0 else 0
+            vmap = compute_variable_map(grid, params, water, var, layer)
+            path = os.path.join(out_dir, f"{var.value}_{d}_{time_tag}")
+            write_flt(path, vmap, hdr)
+            written.append(path + ".flt")
+    return written
