@@ -70,3 +70,38 @@ def test_vectorized_over_map():
     state, out = downy_mildew_step(state, inp, is_first_january=True)
     assert out["infection_rate"].shape == (3, 3)
     assert state.stage.shape == (3, 3, 16)
+
+
+# ---------------------------------------------------------------------------
+# powdery mildew
+# ---------------------------------------------------------------------------
+
+def test_powdery_mildew_season():
+    from criteria3d_tpu.physics.powdery_mildew import (PowderyMildewState,
+                                                       powdery_mildew_step)
+    state = PowderyMildewState.initialize()
+    any_infection = False
+    risk_max = 0.0
+    for day in range(120):
+        rain = 5.0 if day % 7 == 0 else 0.0
+        state, out = powdery_mildew_step(
+            state, tavg=18.0, rain=rain, leaf_wetness=8.0,
+            relative_humidity=80.0, is_bud_break=(day == 0))
+        any_infection = any_infection or bool(out["day_infection"])
+        risk_max = max(risk_max, float(out["infection_risk"]))
+    assert float(state.degree_days) == pytest.approx(120 * 8.0)
+    assert any_infection
+    assert risk_max > 0.0
+    assert float(state.total_sporulating) > 0.0
+
+
+def test_powdery_mildew_cold_inactive():
+    from criteria3d_tpu.physics.powdery_mildew import (PowderyMildewState,
+                                                       powdery_mildew_step)
+    state = PowderyMildewState.initialize()
+    for day in range(30):
+        state, out = powdery_mildew_step(
+            state, tavg=2.0, rain=5.0, leaf_wetness=8.0,
+            relative_humidity=90.0, is_bud_break=(day == 0))
+        assert float(out["col"]) == 0.0    # too cold: no infection
+    assert float(state.degree_days) == 0.0
