@@ -34,10 +34,12 @@ _TR = 16          # output rows per slab
 
 
 def _roll2(x, shift, axis):
+    # pltpu.roll requires a non-negative shift
+    shift = shift % x.shape[axis]
     return pltpu.roll(x, shift=shift, axis=axis)
 
 
-def _kernel(b_ref, cu_ref, cd_ref, clat_ref, mask_ref, x_ref,
+def _kernel(b_ref, cu_ref, cd_ref, mask_ref, x_ref, clat_ref,
             out_ref, norm_ref, *, K: int, TR: int, L: int, C: int):
     i = pl.program_id(0)
     slab_rows = TR + 2 * K
