@@ -105,7 +105,9 @@ def _kernel(b_ref, cu_ref, cd_ref, mask_ref, x_ref, clat_ref,
         apsi = jnp.abs(x)
         w = jnp.where(apsi > 1.0, 1.0 / apsi, 1.0)
         contrib = (dx * w * mask)[:, K:K + TR, :]
-        norm_ref[0, 0] = jnp.sum(contrib)
+        norm_block = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(
+            jnp.sum(contrib))
+        norm_ref[0, :, :] = norm_block
 
         out_ref[:, :, :] = x[:, K:K + TR, :]
 
@@ -150,13 +152,13 @@ def jacobi_bundle(b, c_up, c_down, c_lat, mask_f, x,
         out_specs=[
             pl.BlockSpec((L, TR, Cp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((L, Rp, Cp), jnp.float32),
-            jax.ShapeDtypeStruct((nblocks, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks, 8, 128), jnp.float32),
         ],
     )(b_p, cu_p, cd_p, m_p, x_p, cl_p)
 
-    return out[:, :R, :C], jnp.sum(norms)
+    return out[:, :R, :C], jnp.sum(norms[:, 0, 0])
