@@ -1,0 +1,241 @@
+"""VINE3D grapevine ecophysiology: phenology, growth, berry quality.
+
+Vectorised re-implementation of the core of src/grapevine/grapevine.cpp
+(Bindi-Miglietta growth + PhenoVitis phenology, Caffarra & Eccel):
+
+* chilling / forcing phenology with the staged cycle endodormancy →
+  ecodormancy → bud burst → flowering → fruit set → veraison →
+  physiological maturity (computePhenology, grapevine.cpp:1393-1460);
+* Bindi-Miglietta shoot-leaf-number LAI dynamics (getLAIVine,
+  grapevine.cpp:~1700);
+* fruit biomass accumulation from net assimilation with the
+  days-after-bloom incremental ratio (compute, grapevine.cpp:69-92);
+* berry quality: Gompertz berry volume → tartaric acid
+  (grapevine.cpp:1840-1861).
+
+Photosynthesis/transpiration reuse the Wang-Leuning/Farquhar kernel from
+:mod:`criteria3d_tpu.physics.hydrall` (the reference's grapevine kernel,
+grapevine.cpp:816-925, is the same Magnani formulation).
+
+All functions are element-wise over arbitrary map shapes; stages are carried
+as a float (integer part = stage, fraction = progress), exactly like the
+reference's ``statePheno.stage``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["GrapevineParameters", "GrapevineState", "phenology_daily_step",
+           "lai_vine_daily", "fruit_biomass_step", "tartaric_acid",
+           "Stage"]
+
+
+class Stage:
+    """Phenological stage codes (grapevine.h vine stages)."""
+
+    ENDO_DORMANCY = 0.0
+    ECO_DORMANCY = 1.0
+    BUD_BURST = 2.0
+    FLOWERING = 3.0
+    FRUIT_SET = 4.0
+    VERAISON = 5.0
+    PHYSIOLOGICAL_MATURITY = 6.0
+    SENESCENCE = 7.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GrapevineParameters:
+    """Cultivar parameters (TVineCultivar; defaults ~ Sangiovese)."""
+
+    # PhenoVitis
+    critical_chilling: float = 110.0
+    co1: float = 2000.0
+    co2: float = -0.075       # parameterPhenoVitisFix.co2
+    chilling_a: float = 0.005  # parameterPhenoVitisFix.a
+    optimal_chilling_temp: float = 2.8
+    critical_force_veraison: float = 90.0
+    critical_force_maturity: float = 135.0
+    degree_days_veraison: float = 1200.0
+    starting_doy: int = 244    # phenology year restart (1 Sep)
+    # Bindi-Miglietta
+    bm_a: float = -0.28
+    bm_b: float = 0.04
+    bm_c: float = -0.015
+    shaded_surface: float = 0.8
+    leaf_d: float = 0.0018     # shoot leaf area = d * N^f
+    leaf_f: float = 1.34
+    shoots_per_plant: float = 10.0
+    plant_density: float = 3333.0
+    fruit_biomass_offset: float = 0.25
+    fruit_biomass_slope: float = 0.01
+    lai_min: float = 0.2
+    lai_max: float = 6.0
+    min_shoot_leaf_nr: float = 1.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GrapevineState:
+    stage: jax.Array              # float stage code
+    chilling: jax.Array
+    force_bud_burst: jax.Array
+    force_veg: jax.Array
+    lai: jax.Array
+    shoot_leaf_number: jax.Array
+    fruit_biomass: jax.Array      # [g m-2]
+    cumulated_biomass: jax.Array  # [g m-2]
+    days_after_bloom: jax.Array
+
+    @staticmethod
+    def initialize(shape=(), dtype=jnp.float64) -> "GrapevineState":
+        f = lambda v: jnp.full(shape, v, dtype)
+        return GrapevineState(
+            stage=f(Stage.ENDO_DORMANCY), chilling=f(0.0),
+            force_bud_burst=f(0.0), force_veg=f(0.0), lai=f(0.2),
+            shoot_leaf_number=f(1.0), fruit_biomass=f(0.0),
+            cumulated_biomass=f(0.0), days_after_bloom=f(0.0))
+
+
+def chilling_rate(temp, a, c_opt):
+    """(grapevine.cpp:1357-1360)."""
+    return 2.0 / (1.0 + jnp.exp(a * (temp - c_opt) ** 2))
+
+
+def force_increment(temp):
+    """Daily forcing unit (forceStateFunction, grapevine.cpp:1367-1369)."""
+    return 1.0 / (1.0 + jnp.exp(-0.26 * (temp - 16.06)))
+
+
+def phenology_daily_step(state: GrapevineState, params: GrapevineParameters,
+                         mean_daily_temp, doy) -> GrapevineState:
+    """One daily PhenoVitis step (computePhenology, grapevine.cpp:1393-1460).
+
+    Chilling accumulates from ``starting_doy``; once critical chilling is
+    reached the forcing sum drives bud burst against the chilling-dependent
+    critical force; the vegetative forcing then advances the stage through
+    veraison to maturity.
+    """
+    t = jnp.asarray(mean_daily_temp)
+
+    chill = jnp.where(doy == params.starting_doy, 0.0,
+                      state.chilling + chilling_rate(
+                          t, params.chilling_a, params.optimal_chilling_temp))
+
+    chilled = chill > params.critical_chilling
+    force_bb = jnp.where(chilled,
+                         state.force_bud_burst + force_increment(t),
+                         state.force_bud_burst)
+    critical_force = params.co1 * jnp.exp(params.co2 * chill)
+
+    # pre-budburst stage interpolation
+    stage = Stage.ENDO_DORMANCY + jnp.minimum(
+        1.0, chill / params.critical_chilling)
+    stage = jnp.where(
+        chilled,
+        Stage.ECO_DORMANCY + jnp.minimum(
+            1.0, 1.0 - (critical_force - force_bb)
+            / jnp.maximum(critical_force, 1e-9)),
+        stage)
+
+    burst = force_bb > critical_force
+    force_veg = jnp.where(burst, state.force_veg + force_increment(t),
+                          state.force_veg)
+
+    # bud burst -> veraison: linear in vegetative forcing
+    stage_veg = Stage.BUD_BURST + (Stage.VERAISON - Stage.BUD_BURST) \
+        * jnp.minimum(1.0, force_veg / params.critical_force_veraison)
+    stage = jnp.where(burst, jnp.maximum(stage, stage_veg), stage)
+
+    past_veraison = force_veg > params.critical_force_veraison
+    stage_mat = Stage.VERAISON + (force_veg - params.critical_force_veraison) \
+        / (params.critical_force_maturity - params.critical_force_veraison)
+    stage = jnp.where(past_veraison,
+                      jnp.minimum(stage_mat, Stage.SENESCENCE), stage)
+
+    bloomed = stage >= Stage.FLOWERING
+    dab = jnp.where(bloomed, state.days_after_bloom + 1.0, 0.0)
+
+    return dataclasses.replace(state, stage=stage, chilling=chill,
+                               force_bud_burst=force_bb, force_veg=force_veg,
+                               days_after_bloom=dab)
+
+
+def lai_vine_daily(state: GrapevineState, params: GrapevineParameters,
+                   mean_daily_temp, doy, stress_coefficient=1.0
+                   ) -> GrapevineState:
+    """Daily Bindi-Miglietta LAI update (getLAIVine)."""
+    veg = state.stage >= Stage.BUD_BURST
+    n = jnp.maximum(state.shoot_leaf_number, params.min_shoot_leaf_nr)
+
+    rate = jnp.maximum(
+        0.0, (params.bm_a + params.bm_b * mean_daily_temp)
+        * (1.0 + params.bm_c * n))
+    rate = jnp.where(doy < 260, rate, 0.0)
+    ripening = (state.stage >= Stage.VERAISON) \
+        & (state.stage <= Stage.PHYSIOLOGICAL_MATURITY)
+    rate = jnp.where(
+        ripening,
+        rate * (1.0 - (params.fruit_biomass_offset
+                       + params.fruit_biomass_slope * state.days_after_bloom)),
+        rate)
+
+    n_new = jnp.where(veg, n + rate, n)
+    shoot_leaf_area = params.leaf_d * n_new ** params.leaf_f
+    lai_unstressed = shoot_leaf_area * params.shoots_per_plant \
+        * params.plant_density / params.shaded_surface
+
+    delta = jnp.maximum(0.0, lai_unstressed - state.lai) * stress_coefficient
+    lai = jnp.minimum(state.lai + delta, params.lai_max)
+
+    # senescence decay toward LAImin after maturity / mid autumn
+    decay = (state.stage >= Stage.PHYSIOLOGICAL_MATURITY) | (doy > 273)
+    delta_doy = jnp.maximum(320 - doy, 1)
+    lai = jnp.where(decay,
+                    jnp.maximum(lai * (1.0 - 1.0 / delta_doy), params.lai_min),
+                    lai)
+    lai = jnp.where(veg, lai, params.lai_min)
+
+    return dataclasses.replace(state, lai=lai, shoot_leaf_number=n_new)
+
+
+def fruit_biomass_step(state: GrapevineState, params: GrapevineParameters,
+                       net_assimilation_g) -> GrapevineState:
+    """Allocate net assimilation to total and fruit biomass.
+
+    Mirrors compute (grapevine.cpp:69-92): after fruit set, the fruit share
+    of new biomass follows offset + slope·min(80, daysAfterBloom-5).
+    """
+    dab = state.days_after_bloom
+    ratio = params.fruit_biomass_slope * params.shoots_per_plant / 11.0
+    partition = params.fruit_biomass_offset + ratio * jnp.minimum(
+        80.0, jnp.maximum(dab - 5.0, 0.0))
+
+    fruiting = (dab >= 5.0) & (state.stage <= Stage.PHYSIOLOGICAL_MATURITY) \
+        & (state.stage >= Stage.FRUIT_SET)
+    fruit = jnp.where(fruiting,
+                      state.fruit_biomass + net_assimilation_g * partition,
+                      state.fruit_biomass)
+    total = state.cumulated_biomass + jnp.maximum(net_assimilation_g, 0.0)
+    return dataclasses.replace(state, fruit_biomass=fruit,
+                               cumulated_biomass=total)
+
+
+def gompertz_berry_volume(stage_from_veraison):
+    """(gompertzDistribution, grapevine.cpp:1853-1861)."""
+    a = 2.5
+    b = jnp.log(a)
+    c = -jnp.log(-jnp.log(0.76) / b)
+    return a * jnp.exp(-b * jnp.exp(-c * stage_from_veraison))
+
+
+def tartaric_acid(state: GrapevineState):
+    """[g/L]-scale index, diluted by berry growth (getTartaricAcid,
+    grapevine.cpp:1840-1851). NaN before veraison."""
+    past = state.stage >= Stage.VERAISON
+    vol = gompertz_berry_volume(
+        jnp.maximum(state.stage - Stage.VERAISON, 0.0) + 0.2)
+    return jnp.where(past, 1.0 / vol, jnp.nan)

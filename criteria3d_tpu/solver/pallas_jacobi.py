@@ -105,8 +105,10 @@ def _kernel(b_ref, cu_ref, cd_ref, mask_ref, x_ref, clat_ref,
         apsi = jnp.abs(x)
         w = jnp.where(apsi > 1.0, 1.0 / apsi, 1.0)
         contrib = (dx * w * mask)[:, K:K + TR, :]
-        norm_block = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(
-            jnp.sum(contrib))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        norm_block = jnp.where((rows == 0) & (cols == 0),
+                               jnp.sum(contrib), 0.0)
         norm_ref[0, :, :] = norm_block
 
         out_ref[:, :, :] = x[:, K:K + TR, :]
