@@ -70,7 +70,12 @@ def main():
     t_start = time.time()
     coarsen = int(os.environ.get("BENCH_COARSEN", "1"))
     grid = build_grid(coarsen)
-    params = SolverParameters()
+    # fast mode: f64 assembly + f32 psi-form sweeps (validated to <1 mm of
+    # the f64 path, tests/test_fast_f32.py); BENCH_MODE=ref for pure f64
+    if os.environ.get("BENCH_MODE", "fast") == "fast":
+        params = SolverParameters.fast_f32()
+    else:
+        params = SolverParameters()
 
     @partial(jax.jit, static_argnames=("p",))
     def init_state(g, p):

@@ -1,0 +1,60 @@
+"""Coupled water+heat stepping (BASELINE config 4 mini)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from criteria3d_tpu import Grid, SoilFields, SolverParameters, WaterState
+from criteria3d_tpu.constants import ZEROCELSIUS
+from criteria3d_tpu.solver import heat as H
+from criteria3d_tpu.solver.coupled import compute_step_coupled
+from criteria3d_tpu.solver.step import initialize_balance
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dem = np.full((4, 4), 100.0)
+    soil = SoilFields.uniform(dem.shape, vg_alpha=1.2, vg_n=1.5, vg_he=0.02,
+                              theta_s=0.41, theta_r=0.04, k_sat=5e-6)
+    grid = Grid.build(dem, 2.0, soil, total_depth=0.5,
+                      free_catchment_runoff=False)
+    params = SolverParameters()
+    water = WaterState.initialize(grid, params, matric_potential=-1.0)
+    water = initialize_balance(grid, params, water)
+    return grid, params, water
+
+
+def test_coupled_step_advances_both_fields(setup):
+    grid, params, water = setup
+    t0 = ZEROCELSIUS + 10.0
+    heat = H.initialize_heat(grid, t0)
+    heat = dataclasses.replace(
+        heat, storage_prev=H.heat_storage(grid, params, heat, water))
+    boundary = H.HeatBoundary.uniform(grid.shape[1:],
+                                      air_temperature=ZEROCELSIUS + 25.0,
+                                      net_irradiance=400.0)
+    rain = 0.005 * float(grid.area) / 3600.0
+    water = dataclasses.replace(
+        water, sink_source=jnp.zeros_like(water.sink_source).at[0].set(
+            jnp.where(grid.mask[0], rain, 0.0)))
+
+    w, h, dt = water, heat, 0.0
+    t = 0.0
+    for _ in range(6):
+        w, h, dt = compute_step_coupled(grid, params, w, h, boundary,
+                                        3600.0 - t)
+        t += float(dt)
+        if t >= 3600.0:
+            break
+
+    # water moved (rain infiltrated)
+    assert float(jnp.max(w.se[1])) > float(jnp.max(water.se[1]))
+    # soil warmed from the hot boundary
+    mask1 = np.asarray(grid.mask[1])
+    t_new = np.asarray(h.t[1])[mask1]
+    assert (t_new > t0 + 0.1).all()
+    # temperature stays physical
+    assert (t_new < ZEROCELSIUS + 60.0).all()
+    assert np.isfinite(np.asarray(h.t)[np.asarray(grid.mask)]).all()
