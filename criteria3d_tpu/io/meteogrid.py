@@ -64,9 +64,9 @@ def parse_grid_xml(path: str) -> MeteoGridStructure:
                     s.ll_longitude = float(text)
                 elif t == "YLL":
                     s.ll_latitude = float(text)
-                elif t == "NROWS":
+                elif t in ("NROWS", "NRROWS"):
                     s.nr_rows = int(text)
-                elif t == "NRCOLS":
+                elif t in ("NCOLS", "NRCOLS"):
                     s.nr_cols = int(text)
                 elif t == "XWIDTH":
                     s.dx = float(text)
