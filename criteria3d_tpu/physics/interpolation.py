@@ -177,3 +177,78 @@ def quality_range_check(value, vmin, vmax):
     v = jnp.asarray(value, jnp.float64)
     ok = (v >= vmin) & (v <= vmax) & (v != NODATA)
     return jnp.where(ok, v, NODATA), ok
+
+
+def spatial_quality_control(station_x, station_y, station_z, station_value,
+                            *, kind: VariableKind = VariableKind.TEMPERATURE,
+                            n_neighbours: int = 10, n_std_dev: float = 2.0,
+                            min_regression_r2: float = 0.1):
+    """Leave-one-out spatial consistency check.
+
+    Mirrors spatialQualityControl (spatialControl.cpp:336-430): each station
+    is re-estimated from the others (detrended IDW at its own location); the
+    residual is compared against a variable-specific threshold built from
+    the neighbourhood standard deviation, elevation difference and distance
+    (getSpatialThresholdVar, spatialControl.cpp:14-60). Returns a bool mask
+    of accepted stations.
+    """
+    sx = jnp.asarray(station_x, jnp.float64)
+    sy = jnp.asarray(station_y, jnp.float64)
+    sz = jnp.asarray(station_z, jnp.float64)
+    sv = jnp.asarray(station_value, jnp.float64)
+    n = sv.shape[0]
+    valid = sv != NODATA
+
+    # pairwise distances with self-distance masked out
+    dx = sx[:, None] - sx[None, :]
+    dy = sy[:, None] - sy[None, :]
+    dist = jnp.sqrt(dx ** 2 + dy ** 2)
+    eye = jnp.eye(n, dtype=bool)
+    other = (~eye) & valid[None, :]
+
+    # leave-one-out detrended estimate at each station
+    slope, intercept, r2 = simple_regression(sv, sz, valid)
+    detrendable = kind in (VariableKind.TEMPERATURE, VariableKind.GENERIC,
+                           VariableKind.RELATIVE_HUMIDITY)
+    significant = (r2 >= min_regression_r2) & detrendable
+    resid = jnp.where(significant, sv - (intercept + slope * sz), sv)
+
+    d_km = jnp.where(other, jnp.maximum(dist, EPSILON), jnp.inf) / 10000.0
+    w = 1.0 / (d_km ** 3)
+    est_resid = jnp.sum(jnp.where(other, w * resid[None, :], 0.0), axis=1) \
+        / jnp.maximum(jnp.sum(jnp.where(other, w, 0.0), axis=1), 1e-30)
+    est = jnp.where(significant, est_resid + intercept + slope * sz, est_resid)
+    residual = sv - est
+
+    # neighbourhood statistics over the nearest n_neighbours stations
+    big = jnp.where(other, dist, jnp.inf)
+    order = jnp.argsort(big, axis=1)[:, :n_neighbours]
+    nb_vals = jnp.take(sv, order)
+    nb_z = jnp.take(sz, order)
+    nb_dist = jnp.take_along_axis(big, order, axis=1)
+    nb_ok = jnp.isfinite(nb_dist)
+    cnt = jnp.maximum(jnp.sum(nb_ok, axis=1), 1)
+    mean = jnp.sum(jnp.where(nb_ok, nb_vals, 0.0), axis=1) / cnt
+    var = jnp.sum(jnp.where(nb_ok, (nb_vals - mean[:, None]) ** 2, 0.0),
+                  axis=1) / cnt
+    std_dev = jnp.sqrt(var)
+    avg_dz = jnp.sum(jnp.where(nb_ok, jnp.abs(nb_z - sz[:, None]), 0.0),
+                     axis=1) / cnt
+    min_dist = jnp.min(jnp.where(nb_ok, nb_dist, jnp.inf), axis=1)
+
+    std_dev = jnp.maximum(std_dev, jnp.abs(sv) / 100.0)
+    if kind == VariableKind.TEMPERATURE:
+        thr = jnp.minimum(
+            jnp.minimum(min_dist / 1000.0 + 1.0 + avg_dz / 100.0, 12.0)
+            + std_dev * n_std_dev, 15.0)
+    elif kind == VariableKind.RELATIVE_HUMIDITY:
+        thr = 20.0 + avg_dz / 10.0 + min_dist / 1000.0 + std_dev * n_std_dev
+    elif kind == VariableKind.PRECIPITATION:
+        dist_w = jnp.maximum(1.0, min_dist / 2000.0)
+        thr = jnp.where(sv <= 0.2,
+                        jnp.maximum(5.0, dist_w + std_dev * (n_std_dev + 1)),
+                        1000.0)
+    else:
+        thr = 10.0 + std_dev * n_std_dev
+
+    return valid & (jnp.abs(residual) <= thr)

@@ -107,3 +107,18 @@ def test_quality_range():
     v, ok = quality_range_check(jnp.asarray([20.0, -80.0, 1.0]), -60.0, 60.0)
     assert bool(ok[0]) and not bool(ok[1])
     assert float(v[1]) == NODATA
+
+
+def test_spatial_quality_control_flags_outlier():
+    from criteria3d_tpu.physics.interpolation import spatial_quality_control
+    rng = np.random.RandomState(3)
+    n = 30
+    sx = jnp.asarray(rng.uniform(0, 20000, n))
+    sy = jnp.asarray(rng.uniform(0, 20000, n))
+    sz = jnp.asarray(rng.uniform(0, 500, n))
+    sv = 20.0 - 0.0065 * np.asarray(sz) + rng.normal(0, 0.3, n)
+    sv[7] = 45.0          # broken sensor: +25 degC outlier
+    ok = spatial_quality_control(sx, sy, sz, jnp.asarray(sv))
+    ok = np.asarray(ok)
+    assert not ok[7]                  # outlier rejected
+    assert ok.sum() >= n - 3          # healthy stations accepted
