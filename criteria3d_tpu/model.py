@@ -225,3 +225,41 @@ class Criteria3DModel:
         out["mbr"] = float(self.water.balance_whole.mbr)
         out["courant"] = float(self.water.courant)
         return out
+
+    # ------------------------------------------------------------------
+    def run_period(self, first_day, n_days: int, forcing_provider,
+                   *, state_save_dir: str | None = None,
+                   save_daily_state: bool = False) -> list:
+        """Multi-day driver (Crit3DProject::runModels,
+        criteria3DProject.cpp:1169-1318): per day, 24 hourly cycles with the
+        daily crop update at hour 23 and optional state checkpoints.
+
+        ``forcing_provider(date, hour) -> HourlyForcing``;
+        ``first_day`` is a ``datetime.date``.
+        """
+        import datetime
+
+        from criteria3d_tpu.io.state_io import save_state, state_dir_name
+
+        daily_log = []
+        for d in range(n_days):
+            date = first_day + datetime.timedelta(days=d)
+            t_min, t_max = None, None
+            for hour in range(24):
+                forcing = forcing_provider(date, hour)
+                t_map = forcing.air_temperature
+                t_val = float(jnp.mean(jnp.where(self.grid.mask[0], t_map, 0.0)))
+                t_min = t_val if t_min is None else min(t_min, t_val)
+                t_max = t_val if t_max is None else max(t_max, t_val)
+                out = self.run_hour(forcing, date.year, date.month, date.day,
+                                    hour)
+                # daily crop update at 23h (criteria3DProject.cpp:1224)
+                if hour == 23 and self.config.compute_crop:
+                    self.daily_update(t_min, t_max)
+            daily_log.append(dict(date=str(date), mbr=out["mbr"]))
+
+            if save_daily_state and state_save_dir:
+                path = f"{state_save_dir}/{state_dir_name(date.year, date.month, date.day, 23)}"
+                save_state(path, self.grid, self.water, snow=self.snow,
+                           degree_days=self.degree_days, lai=self.lai)
+        return daily_log

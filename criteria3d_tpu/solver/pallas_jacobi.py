@@ -34,8 +34,9 @@ _TR = 16          # output rows per slab
 
 
 def _roll2(x, shift, axis):
-    # pltpu.roll requires a non-negative shift
-    shift = shift % x.shape[axis]
+    # pltpu.roll needs a non-negative int32 shift (x64 mode promotes Python
+    # ints to i64, which the Mosaic verifier rejects)
+    shift = jnp.asarray(shift % x.shape[axis], jnp.int32)
     return pltpu.roll(x, shift=shift, axis=axis)
 
 
@@ -47,22 +48,23 @@ def _kernel(b_ref, cu_ref, cd_ref, mask_ref, x_ref, clat_ref,
     def body(slab, sem):
         # DMA the slab (all inputs share the row window [i*TR, i*TR+slab_rows))
         row0 = i * TR
+        i32 = lambda v: jnp.asarray(v, jnp.int32)
         copies = [
             pltpu.make_async_copy(b_ref.at[:, pl.ds(row0, slab_rows), :],
-                                  slab.at[0], sem.at[0]),
+                                  slab.at[i32(0)], sem.at[i32(0)]),
             pltpu.make_async_copy(cu_ref.at[:, pl.ds(row0, slab_rows), :],
-                                  slab.at[1], sem.at[1]),
+                                  slab.at[i32(1)], sem.at[i32(1)]),
             pltpu.make_async_copy(cd_ref.at[:, pl.ds(row0, slab_rows), :],
-                                  slab.at[2], sem.at[2]),
+                                  slab.at[i32(2)], sem.at[i32(2)]),
             pltpu.make_async_copy(mask_ref.at[:, pl.ds(row0, slab_rows), :],
-                                  slab.at[3], sem.at[3]),
+                                  slab.at[i32(3)], sem.at[i32(3)]),
             pltpu.make_async_copy(x_ref.at[:, pl.ds(row0, slab_rows), :],
-                                  slab.at[4], sem.at[4]),
+                                  slab.at[i32(4)], sem.at[i32(4)]),
         ]
         for kk in range(8):
             copies.append(pltpu.make_async_copy(
-                clat_ref.at[kk, :, pl.ds(row0, slab_rows), :],
-                slab.at[5 + kk], sem.at[5 + kk]))
+                clat_ref.at[i32(kk), :, pl.ds(row0, slab_rows), :],
+                slab.at[i32(5 + kk)], sem.at[i32(5 + kk)]))
         for c in copies:
             c.start()
         for c in copies:
