@@ -81,3 +81,14 @@ def test_output_rasters(setup, tmp_path):
     assert hdr.cellsize == 10.0
     mask = np.asarray(grid.mask[layer_index_for_depth(grid, 20)])
     assert np.isfinite(data[mask]).all()
+
+
+def test_balance_report(setup):
+    from criteria3d_tpu.solver import water as W
+    from criteria3d_tpu.utils.telemetry import balance_report
+    grid, params, state = setup
+    s0 = float(W.total_water_content(grid, params, state.h, state.se))
+    rep = balance_report(grid, params, state, initial_storage=s0)
+    assert rep["water_content_m3"] == pytest.approx(s0)
+    assert abs(rep["mass_balance_error_mm"]) < 1e-6   # nothing happened yet
+    assert "runoff_m3" in rep and "free_drainage_m3" in rep
