@@ -266,6 +266,38 @@ def reflected_irradiance(bh, dh, albedo, slope_deg):
 
 
 # ----------------------------------------------------------------------
+# transmissivity estimation from observations
+# ----------------------------------------------------------------------
+
+def transmissivity_samani(t_min, t_max, samani_coeff=0.17):
+    """Atmospheric transmissivity from the daily temperature range
+    (computePointTransmissivitySamani, transmissivity.cpp:36-46)."""
+    return jnp.where(t_max >= t_min,
+                     samani_coeff * jnp.sqrt(jnp.maximum(t_max - t_min, 0.0)),
+                     NODATA)
+
+
+def transmissivity_from_measured(observed_rad, potential_rad,
+                                 clear_sky_transmissivity=0.75):
+    """Transmissivity = clearSky · Σobserved/Σpotential over a moving window
+    (radiation::computePointTransmissivity semantics used by
+    computeTransmissivity, transmissivity.cpp:105-170).
+
+    observed_rad / potential_rad: arrays over the window (NODATA gaps in the
+    observations are skipped together with their potential counterpart).
+    """
+    obs = jnp.asarray(observed_rad, jnp.float64)
+    pot = jnp.asarray(potential_rad, jnp.float64)
+    ok = obs != NODATA
+    sum_obs = jnp.sum(jnp.where(ok, obs, 0.0))
+    sum_pot = jnp.sum(jnp.where(ok, pot, 0.0))
+    enough = jnp.sum(ok) >= 0.66 * obs.shape[-1]
+    ratio = jnp.where(sum_pot > 0, sum_obs / jnp.maximum(sum_pot, 1e-9), 0.0)
+    t = jnp.clip(ratio, 0.0, 1.0) * clear_sky_transmissivity
+    return jnp.where(enough, t, NODATA)
+
+
+# ----------------------------------------------------------------------
 # DEM shadowing
 # ----------------------------------------------------------------------
 

@@ -154,9 +154,15 @@ def jacobi_bundle(b, c_up, c_down, c_lat, mask_f, x,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
         out_specs=[
-            pl.BlockSpec((L, TR, Cp), lambda i: (0, i, 0),
+            # index_map components must share the program-id dtype (int32);
+            # Python ints would promote to i64 under x64 mode and fail Mosaic
+            pl.BlockSpec((L, TR, Cp),
+                         lambda i: (jnp.zeros((), jnp.int32), i,
+                                    jnp.zeros((), jnp.int32)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 8, 128),
+                         lambda i: (i, jnp.zeros((), jnp.int32),
+                                    jnp.zeros((), jnp.int32)),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -98,3 +98,22 @@ def test_utm_latlon_roundtrip():
     # Ravone DEM corner (zone 32) lands near Bologna
     lat3, lon3 = utm_to_latlon(32, 44.0, 682648.0, 4923526.0)
     assert 44.0 < lat3 < 45.0 and 11.0 < lon3 < 12.0
+
+
+def test_transmissivity_estimation():
+    from criteria3d_tpu.physics.radiation import (transmissivity_samani,
+                                                  transmissivity_from_measured)
+    # Samani: larger T range -> more transmissive
+    t1 = float(transmissivity_samani(10.0, 20.0))
+    t2 = float(transmissivity_samani(10.0, 14.0))
+    assert t1 > t2 > 0
+
+    # measured / potential ratio scaled by clear-sky
+    obs = jnp.asarray([300.0, 400.0, 350.0])
+    pot = jnp.asarray([600.0, 800.0, 700.0])
+    t = float(transmissivity_from_measured(obs, pot, 0.75))
+    assert t == pytest.approx(0.75 * 0.5)
+
+    # too many gaps -> NODATA
+    obs_gap = jnp.asarray([300.0, -9999.0, -9999.0])
+    assert float(transmissivity_from_measured(obs_gap, pot)) == -9999.0
