@@ -53,6 +53,12 @@ class SolverParameters:
     # large elevation component is folded into the f64-assembled RHS once per
     # Picard iteration, not rounded every sweep.
     sweep_dtype: type | None = None
+    # Run the f32 sweeps through the Pallas bundled kernel
+    # (solver/pallas_jacobi.py): K sweeps per HBM pass with VMEM-resident
+    # coefficients. Convergence is then checked every K sweeps instead of
+    # every sweep (same fixed point; a converged system may run up to K-1
+    # extra no-op sweeps). Requires sweep_dtype=float32 and a TPU backend.
+    use_pallas: bool = False
 
     def max_iterations_for(self, approx: int | jax.Array):
         """(approx+1) * maxIter/maxApprox, min 25 (solver.h:55-59)."""

@@ -29,8 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["jacobi_bundle", "SWEEPS_PER_BUNDLE"]
 
-SWEEPS_PER_BUNDLE = 6
-_TR = 16          # output rows per slab
+SWEEPS_PER_BUNDLE = 8
+_TR = 16          # output rows per slab (TR + 2K must be a multiple of the
+                  # f32 sublane tile, 8)
 
 
 def _roll2(x, shift, axis):

@@ -98,20 +98,34 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
         sweep_sys = system
         x_init = x0
 
+    use_pallas = fast and params.use_pallas
+    if use_pallas:
+        from criteria3d_tpu.solver.pallas_jacobi import (SWEEPS_PER_BUNDLE,
+                                                         jacobi_bundle)
+        mask_f = grid.mask.astype(params.sweep_dtype)
+
     def cond(c):
         _, it, _, done, _ = c
         return jnp.logical_and(~done, it < max_iter)
 
     def body(c):
         x, it, best, done, diverged = c
-        if fast:
+        if use_pallas:
+            x_new, norm_sum = jacobi_bundle(
+                sweep_sys.b, sweep_sys.c_up, sweep_sys.c_down,
+                sweep_sys.c_lat, mask_f, x)
+            norm = norm_sum / grid.n_nodes
+            it_inc = SWEEPS_PER_BUNDLE
+        elif fast:
             x_new, norm = W.jacobi_sweep_psi(sweep_sys, x, grid, grid.n_nodes)
+            it_inc = 1
         else:
             x_new, norm = W.jacobi_sweep(sweep_sys, x, grid, grid.n_nodes)
+            it_inc = 1
         converged = norm < tol
         div = jnp.logical_and(~converged, norm > best * 10.0)
         best = jnp.minimum(best, norm)
-        return (x_new, it + 1, best, converged | div, div)
+        return (x_new, it + it_inc, best, converged | div, div)
 
     best0 = jnp.ones((), x_init.dtype)
     x, _, _, _, diverged = lax.while_loop(
