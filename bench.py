@@ -73,7 +73,8 @@ def main():
     # fast mode: f64 assembly + f32 psi-form sweeps (validated to <1 mm of
     # the f64 path, tests/test_fast_f32.py); BENCH_MODE=ref for pure f64
     if os.environ.get("BENCH_MODE", "fast") == "fast":
-        params = SolverParameters.fast_f32()
+        params = SolverParameters.fast_f32(
+            use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1")
     else:
         params = SolverParameters()
 
