@@ -45,6 +45,25 @@ class LinearSystem(NamedTuple):
     courant: jax.Array  # scalar: max surface Courant number of this assembly
 
 
+def _work_dtype(params: SolverParameters):
+    """Dtype for the transcendental-heavy conductance math.
+
+    When the f32 fast path is active (sweep_dtype set) the retention-curve /
+    Mualem evaluations also run in f32: they are smooth functions of the
+    matric potential (computed as an f64 difference first, so no precision is
+    lost to the large elevation offsets), and f64 transcendentals are
+    software-emulated on TPU. The parity (pure f64) path is untouched.
+    """
+    return params.sweep_dtype if params.sweep_dtype is not None else params.dtype
+
+
+def _soil_wd(grid: Grid, wd):
+    """Soil parameter fields in the working dtype (no-op on the f64 path)."""
+    if grid.soil.vg_alpha.dtype == wd:
+        return grid.soil
+    return jax.tree.map(lambda a: a.astype(wd), grid.soil)
+
+
 def compute_se(grid: Grid, params: SolverParameters, h: jax.Array) -> jax.Array:
     """Subsurface degree of saturation from total potential.
 
@@ -52,10 +71,12 @@ def compute_se(grid: Grid, params: SolverParameters, h: jax.Array) -> jax.Array:
     (h >= z), else the retention curve at psi = |h - z|. Layer 0 (surface)
     keeps Se = 1.
     """
-    psi = jnp.abs(h - grid.z)
-    se = jnp.where(h >= grid.z, 1.0, se_from_psi(grid.soil, psi, params.wrc_model))
+    wd = _work_dtype(params)
+    psi = jnp.abs(h - grid.z).astype(wd)
+    se = jnp.where(h >= grid.z, 1.0,
+                   se_from_psi(_soil_wd(grid, wd), psi, params.wrc_model))
     se = se.at[0].set(1.0)
-    return jnp.where(grid.mask, se, 0.0)
+    return jnp.where(grid.mask, se, 0.0).astype(params.dtype)
 
 
 def total_water_content(grid: Grid, params: SolverParameters,
@@ -113,18 +134,21 @@ def update_boundary_water(grid: Grid, params: SolverParameters,
     fld_rate = -k * grid.bsize * grid.bslope * params.lateral_vertical_ratio
 
     # --- PrescribedTotalWaterPotential: fixed head 1 m below ---
+    wd = _work_dtype(params)
+    soil_w = _soil_wd(grid, wd)
     Lb = 1.0
     boundary_z = grid.z - Lb
-    boundary_psi = grid.prescribed_h - boundary_z
+    boundary_psi = (grid.prescribed_h - boundary_z).astype(wd)
     k_bound = jnp.where(
-        boundary_psi >= 0, grid.soil.k_sat,
+        boundary_psi >= 0, soil_w.k_sat,
         mualem_conductivity(
-            grid.soil,
-            se_from_psi(grid.soil, jnp.abs(boundary_psi), params.wrc_model),
+            soil_w,
+            se_from_psi(soil_w, jnp.abs(boundary_psi), params.wrc_model),
             params.wrc_model))
-    mean_k = compute_mean(k_bound, jnp.maximum(k, 1e-30), params.mean_type)
+    mean_k = compute_mean(k_bound, jnp.maximum(k.astype(wd), 1e-30),
+                          params.mean_type)
     dh = grid.prescribed_h - h
-    presc_rate = mean_k * grid.bsize * dh / Lb
+    presc_rate = mean_k.astype(params.dtype) * grid.bsize * dh / Lb
 
     rate = jnp.zeros_like(h)
     rate = jnp.where(bt == BoundaryType.RUNOFF, runoff_rate, rate)
@@ -147,10 +171,37 @@ def compute_capacity(grid: Grid, params: SolverParameters,
     Surface capacity = cell area (free-surface storage, cpusolver.cpp:151);
     soil capacity = volume × dTheta/dH (water.cpp:279-297).
     """
-    k = mualem_conductivity(grid.soil, se, params.wrc_model)
-    k = jnp.where(grid.mask, k, 0.0).at[0].set(0.0)
+    wd = _work_dtype(params)
+    k = mualem_conductivity(_soil_wd(grid, wd), se.astype(wd), params.wrc_model)
+    k = jnp.where(grid.mask, k, 0.0).at[0].set(0.0).astype(params.dtype)
 
-    dtdh = dtheta_dh(grid.soil, h, h_old, grid.z, params.wrc_model)
+    if wd == params.dtype:
+        dtdh = dtheta_dh(grid.soil, h, h_old, grid.z, params.wrc_model)
+    else:
+        # fast path: psi and its difference in f64 (the reference's 1e-12
+        # secant threshold is below f32 resolution), VG evaluations in f32
+        # with the secant applied only when the chord is f32-resolvable
+        psi_c64 = jnp.minimum(0.0, h - grid.z)
+        psi_p64 = jnp.minimum(0.0, h_old - grid.z)
+        soil_w = _soil_wd(grid, wd)
+        psi_c = jnp.abs(psi_c64).astype(wd)
+        psi_p = jnp.abs(psi_p64).astype(wd)
+        if params.wrc_model.name == "VAN_GENUCHTEN":
+            saturated = (psi_c == 0.0) & (psi_p == 0.0)
+        else:
+            saturated = (psi_c <= soil_w.vg_he) & (psi_p <= soil_w.vg_he)
+        n = soil_w.vg_n
+        x = soil_w.vg_alpha * jnp.maximum(psi_c, 1e-20)
+        term = (1.0 + x ** n) ** (-(soil_w.vg_m + 1.0)) * x ** (n - 1.0)
+        dse_a = soil_w.vg_alpha * n * soil_w.vg_m * term / soil_w.vg_sc
+        se_c = se_from_psi(soil_w, psi_c, params.wrc_model)
+        se_p = se_from_psi(soil_w, psi_p, params.wrc_model)
+        dh_64 = (h - h_old).astype(wd)
+        dse_s = jnp.abs((se_c - se_p) / jnp.where(dh_64 != 0, dh_64, 1.0))
+        resolvable = jnp.abs(psi_c - psi_p) > 1e-4
+        dse = jnp.where(resolvable, dse_s, dse_a)
+        dse = jnp.where(saturated, 0.0, dse)
+        dtdh = (dse * (soil_w.theta_s - soil_w.theta_r)).astype(params.dtype)
     cap = grid.volume * dtdh
     cap = cap.at[0].set(grid.volume[0])
     cap = jnp.where(grid.mask, cap, 1.0)
@@ -166,14 +217,17 @@ def _vertical_conductance(grid: Grid, params: SolverParameters,
     l == 1: surface-soil infiltration (water.cpp:490-539).
     """
     L = grid.n_layers
+    wd = _work_dtype(params)
     avg_h = 0.5 * (h + h_old)
+    k = k.astype(wd)
 
-    # redistribution: logarithmic-mean K × area / dz
+    # redistribution: logarithmic-mean K × area / dz (in the working dtype:
+    # the log-mean is the transcendental hot spot of assembly)
     k_above = jnp.roll(k, 1, axis=0)  # k[l-1]; wrapped l=0 row is masked out
     mean_k = compute_mean(jnp.maximum(k, 1e-30), jnp.maximum(k_above, 1e-30),
                           params.mean_type)
-    dist = jnp.where(grid.vert_dist > 0, grid.vert_dist, 1.0)
-    a_redist = mean_k * grid.area / dist
+    dist = jnp.where(grid.vert_dist > 0, grid.vert_dist, 1.0).astype(wd)
+    a_redist = mean_k * jnp.asarray(grid.area, wd) / dist
 
     # infiltration (link 0-1)
     dist01 = grid.vert_dist[1, 0, 0]
@@ -201,7 +255,7 @@ def _vertical_conductance(grid: Grid, params: SolverParameters,
     layer_idx = jnp.arange(L).reshape(L, 1, 1)
     a_up = jnp.where(layer_idx >= 2, a_redist, 0.0)
     if L > 1:
-        a_up = a_up.at[1].set(infil)
+        a_up = a_up.at[1].set(infil.astype(wd))
 
     link_ok = grid.mask & jnp.roll(grid.mask, 1, axis=0)
     link_ok = link_ok.at[0].set(False)
@@ -221,6 +275,7 @@ def _lateral_conductances(grid: Grid, params: SolverParameters,
     3-D node distance).
     """
     lvr = params.lateral_vertical_ratio
+    wd = _work_dtype(params)
     avg_h = 0.5 * (h + h_old)
 
     # surface quantities with the approx-0 rainfall predictor (water.cpp:423-431)
@@ -230,18 +285,19 @@ def _lateral_conductances(grid: Grid, params: SolverParameters,
     z_pond = grid.z[0] + pond
     rough = grid.roughness
 
-    k_soil = jnp.maximum(k * lvr, 1e-30)
+    k_soil = jnp.maximum(k.astype(wd) * jnp.asarray(lvr, wd), 1e-30)
+    lat_area_w = grid.lat_area.astype(wd)
 
     a_list = []
     courant = jnp.zeros((), h.dtype)
     for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
         nbr_ok = shift2d(grid.mask, di, dj, fill=False)
 
-        # --- soil lateral redistribution ---
-        k_nbr = jnp.maximum(shift2d(k, di, dj) * lvr, 1e-30)
+        # --- soil lateral redistribution (working dtype: log-mean hot spot) ---
+        k_nbr = jnp.maximum(shift2d(k_soil, di, dj), 1e-30)
         mean_k = compute_mean(k_soil, k_nbr, params.mean_type)
-        dist3d = grid.lat_dist3d[idx]        # (R,C), layer independent
-        a_soil = mean_k * grid.lat_area / dist3d
+        dist3d = grid.lat_dist3d[idx].astype(wd)   # (R,C), layer independent
+        a_soil = mean_k * lat_area_w / dist3d
 
         # --- surface runoff conductance ---
         hi = h_surf
@@ -268,7 +324,7 @@ def _lateral_conductances(grid: Grid, params: SolverParameters,
         cour = jnp.where(invalid | ~nbr_ok[0] | ~grid.mask[0], 0.0, v * dt / dxy)
         courant = jnp.maximum(courant, jnp.max(cour))
 
-        a = a_soil.at[0].set(a_surface)
+        a = a_soil.at[0].set(a_surface.astype(wd))
         a = jnp.where(grid.mask & nbr_ok, a, 0.0)
         a_list.append(a)
 
