@@ -27,7 +27,7 @@ from jax import lax
 from criteria3d_tpu.constants import EPSILON, NODATA
 
 __all__ = ["VariableKind", "idw_map", "detrended_idw", "simple_regression",
-           "quality_range_check"]
+           "quality_range_check", "shepard_idw_map"]
 
 
 class VariableKind(enum.IntEnum):
@@ -169,6 +169,101 @@ def detrended_idw(station_x, station_y, station_z, station_value,
         result = jnp.maximum(result, 0.0)
 
     return result, elev_result
+
+
+SHEPARD_MIN_NRPOINTS = 5    # interpolationConstants.h:7-9
+SHEPARD_AVG_NRPOINTS = 8
+SHEPARD_MAX_NRPOINTS = 10
+
+
+def _shepard_initial_radius(bbox_area, n_points, avg_points):
+    """computeShepardInitialRadius (interpolation.cpp:800-804)."""
+    return jnp.sqrt((avg_points * bbox_area) / (jnp.pi * n_points))
+
+
+def shepard_idw_map(station_x, station_y, station_value, grid_x, grid_y,
+                    *, active=None, modified: bool = False):
+    """Shepard (1968) interpolation with direction factors, vectorized over
+    the whole grid.
+
+    Mirrors shepardIdw / modifiedShepardIdw (interpolation.cpp:871-1029):
+    per cell, the neighbourhood is the stations within the density-derived
+    initial radius, clamped to [5, 10] nearest (shepardSearchNeighbour,
+    :806-869); distance kernel S_i is 1/d inside r/3 and the (27/4r)
+    quadratic taper outside (classic) or (r-d)/(r d) (modified); weights are
+    S_i^2 (1 + t_i) with the directional isolation factor t_i.
+
+    The per-cell dynamic neighbour search becomes a fixed-k `top_k` plus
+    masks — the same selection rule, expressed with static shapes.
+    """
+    sx = jnp.asarray(station_x, jnp.float64)
+    sy = jnp.asarray(station_y, jnp.float64)
+    sv = jnp.asarray(station_value, jnp.float64)
+    ok = sv != NODATA
+    if active is not None:
+        ok = ok & jnp.asarray(active)
+    n_st = sv.shape[0]
+    k = min(n_st, SHEPARD_MAX_NRPOINTS)
+
+    n_ok = jnp.maximum(jnp.sum(ok), 1)
+    bbox_area = ((jnp.max(jnp.where(ok, sx, -jnp.inf))
+                  - jnp.min(jnp.where(ok, sx, jnp.inf)))
+                 * (jnp.max(jnp.where(ok, sy, -jnp.inf))
+                    - jnp.min(jnp.where(ok, sy, jnp.inf))))
+    r0 = _shepard_initial_radius(jnp.maximum(bbox_area, 1.0), n_ok,
+                                 SHEPARD_AVG_NRPOINTS)
+
+    gshape = jnp.asarray(grid_x).shape
+    gx = jnp.asarray(grid_x, jnp.float64).ravel()
+    gy = jnp.asarray(grid_y, jnp.float64).ravel()
+
+    def per_cell(cx, cy):
+        d = jnp.sqrt((sx - cx) ** 2 + (sy - cy) ** 2)
+        d = jnp.where(ok & (d > 0), d, jnp.inf)
+        neg_d, idx = lax.top_k(-d, k)
+        nd = -neg_d                                  # ascending
+        rank = jnp.arange(k)
+        n_inside = jnp.sum(nd <= r0)
+        # < 5 inside: take the 5 nearest; > 10 inside: the 10 nearest;
+        # else: all inside the initial radius (shepardSearchNeighbour)
+        radius = jnp.where(
+            n_inside < SHEPARD_MIN_NRPOINTS,
+            nd[jnp.minimum(SHEPARD_MIN_NRPOINTS, k) - 1] + EPSILON,
+            jnp.where(n_inside > SHEPARD_MAX_NRPOINTS, nd[k - 1] + EPSILON, r0))
+        sel = jnp.where(
+            n_inside < SHEPARD_MIN_NRPOINTS, rank < SHEPARD_MIN_NRPOINTS,
+            jnp.where(n_inside > SHEPARD_MAX_NRPOINTS, rank < k, nd <= r0))
+        sel = sel & jnp.isfinite(nd)
+
+        if modified:
+            s = jnp.where(sel & (nd <= radius),
+                          (radius - nd) / (radius * jnp.maximum(nd, EPSILON)),
+                          0.0)
+        else:
+            r3 = radius / 3.0
+            taper = (6.75 / radius) * ((nd / radius) - 1.0) ** 2
+            s = jnp.where(sel,
+                          jnp.where(nd <= r3, 1.0 / jnp.maximum(nd, EPSILON),
+                                    jnp.where(nd <= radius, taper, 0.0)),
+                          0.0)
+        s_sum = jnp.sum(s)
+
+        # directional isolation factor t_i (interpolation.cpp:911-927)
+        px = sx[idx]
+        py = sy[idx]
+        cos_ij = (((cx - px)[:, None] * (cx - px)[None, :]
+                   + (cy - py)[:, None] * (cy - py)[None, :])
+                  / jnp.maximum(nd[:, None] * nd[None, :], EPSILON))
+        off_diag = ~jnp.eye(k, dtype=bool)
+        t = jnp.sum(jnp.where(off_diag, s[None, :] * (1.0 - cos_ij), 0.0),
+                    axis=1) / jnp.maximum(s_sum, 1e-30)
+        wgt = s * s * (1.0 + t)
+        w_sum = jnp.sum(wgt)
+        est = jnp.sum(wgt * sv[idx]) / jnp.maximum(w_sum, 1e-30)
+        return jnp.where(w_sum > 0, est, NODATA)
+
+    flat = jax.vmap(per_cell)(gx, gy)
+    return flat.reshape(gshape)
 
 
 def quality_range_check(value, vmin, vmax):
