@@ -84,6 +84,11 @@ class Grid:
     roughness: jax.Array           # (R,C) [s m-1/3] surface Manning roughness
     pond_max: jax.Array            # (R,C) [m] surface pond height
 
+    # --- culvert geometry (culvertData_t, types.h:154-160; zero = none) ---
+    culvert_w: jax.Array           # (R,C) [m] culvert width
+    culvert_h: jax.Array           # (R,C) [m] culvert height
+    culvert_rough: jax.Array       # (R,C) [s m-1/3] culvert Manning roughness
+
     # --- static metadata ---
     cell_size: float = dataclasses.field(metadata=dict(static=True))
     n_layers: int = dataclasses.field(metadata=dict(static=True))
@@ -108,6 +113,27 @@ class Grid:
                 return a.astype(dtype)
             return a
         return jax.tree.map(cast, self)
+
+    def set_culvert(self, row: int, col: int, *, roughness: float,
+                    slope: float, width: float, height: float) -> "Grid":
+        """Mark the surface node (row, col) as a culvert outlet.
+
+        Mirrors soilFluxes3D::setCulvert (soilFluxes3D.cpp:551-589): the
+        boundary becomes Culvert with boundarySlope = slope and
+        boundarySize = width*height; the culvert geometry feeds the
+        open-channel / mixed / pressure-flow rating in
+        :func:`criteria3d_tpu.solver.water.update_boundary_water`
+        (water.cpp:749-795).
+        """
+        return dataclasses.replace(
+            self,
+            btype=self.btype.at[0, row, col].set(BoundaryType.CULVERT),
+            bslope=self.bslope.at[0, row, col].set(slope),
+            bsize=self.bsize.at[0, row, col].set(width * height),
+            culvert_w=self.culvert_w.at[row, col].set(width),
+            culvert_h=self.culvert_h.at[row, col].set(height),
+            culvert_rough=self.culvert_rough.at[row, col].set(roughness),
+        )
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -248,6 +274,8 @@ class Grid:
             prescribed_h=j(np.zeros((L, R, C))),
             soil=soil,
             roughness=j(rough2d), pond_max=j(pond2d),
+            culvert_w=j(np.zeros((R, C))), culvert_h=j(np.zeros((R, C))),
+            culvert_rough=j(np.zeros((R, C))),
             cell_size=float(cell_size),
             n_layers=L, n_nodes=n_nodes, n_surface_nodes=n_surface,
             layer_depth=tuple(depths), layer_thickness=tuple(thicknesses),

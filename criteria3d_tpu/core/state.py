@@ -46,6 +46,12 @@ class SolverParameters:
     # reference's trajectories (required for field-level parity); False uses
     # the physically-intended fractional head difference.
     courant_reference_compat: bool = True
+    # Reproduce the reference's culvert water-level expression verbatim:
+    # water.cpp:760 computes `0.5*(H - Hold) - z` (the *difference* of the
+    # heads, not their Crank-Nicolson average, which is almost certainly the
+    # intended `0.5*(H + Hold) - z`). True (default) matches the reference;
+    # False uses the averaged level.
+    culvert_reference_compat: bool = True
     dtype: type = jnp.float64
     # Inner Jacobi-sweep precision. None = same as dtype. float32 runs the
     # hot sweeps on the native TPU VPU in psi-form (head offset from node

@@ -150,11 +150,42 @@ def update_boundary_water(grid: Grid, params: SolverParameters,
     dh = grid.prescribed_h - h
     presc_rate = mean_k.astype(params.dtype) * grid.bsize * dh / Lb
 
+    # --- Culvert (surface outlet): open-channel / mixed / pressure rating ---
+    # Reference: water.cpp:749-795. Water level above the culvert invert;
+    # the reference computes it as 0.5*(H - Hold) - z (gated quirk, see
+    # SolverParameters.culvert_reference_compat).
+    cw = grid.culvert_w
+    ch = jnp.maximum(grid.culvert_h, 1e-12)
+    crough = jnp.maximum(grid.culvert_rough, 1e-12)
+    cslope = jnp.maximum(grid.bslope[0], 0.0)
+    if params.culvert_reference_compat:
+        wl = 0.5 * (h[0] - h_old[0]) - grid.z[0]
+    else:
+        wl = 0.5 * (h[0] + h_old[0]) - grid.z[0]
+    # pressure flow, Hazen-Williams with C=70 (rough concrete)
+    eq_diam = jnp.sqrt(4.0 * cw * ch / jnp.pi)
+    pressure_flow = 70.0 * cslope ** 0.54 * eq_diam ** 2.63 / 3.591
+    # full-section Manning flow (bsize = width*height)
+    hr_full = grid.bsize[0] / jnp.maximum(cw + 2.0 * ch, 1e-12)
+    manning_full = (grid.bsize[0] / crough) * jnp.sqrt(cslope) * hr_full ** (2.0 / 3.0)
+    mix_w = jnp.clip((wl - ch) / (0.5 * ch), 0.0, 1.0)
+    mixed_flow = mix_w * pressure_flow + (1.0 - mix_w) * manning_full
+    # open-channel Manning at the current water level
+    oc_area = cw * jnp.maximum(wl, 0.0)
+    hr_open = oc_area / jnp.maximum(cw + 2.0 * jnp.maximum(wl, 0.0), 1e-12)
+    open_flow = (oc_area / crough) * jnp.sqrt(cslope) * hr_open ** (2.0 / 3.0)
+    culvert_flow = jnp.where(
+        wl >= 1.5 * ch, pressure_flow,
+        jnp.where(wl >= ch, mixed_flow,
+                  jnp.where(wl > pond, open_flow, 0.0)))
+    culvert_rate = jnp.zeros_like(h).at[0].set(-culvert_flow)
+
     rate = jnp.zeros_like(h)
     rate = jnp.where(bt == BoundaryType.RUNOFF, runoff_rate, rate)
     rate = jnp.where(bt == BoundaryType.FREE_DRAINAGE, fd_rate, rate)
     rate = jnp.where(bt == BoundaryType.FREE_LATERAL_DRAINAGE, fld_rate, rate)
     rate = jnp.where(bt == BoundaryType.PRESCRIBED_TOTAL_POTENTIAL, presc_rate, rate)
+    rate = jnp.where(bt == BoundaryType.CULVERT, culvert_rate, rate)
     # Urban / Road boundary nodes carry no boundary flow (they only modulate
     # infiltration, water.cpp:503-513); reference default branch leaves rate 0.
 
