@@ -199,8 +199,18 @@ def compute_mean(v1: jax.Array, v2: jax.Array, mean_type: MeanType) -> jax.Array
     if mean_type == MeanType.GEOMETRIC:
         sign = jnp.sign(v1)
         return sign * jnp.sqrt(v1 * v2)
-    # logarithmic
-    equal = v1 == v2
-    v1s = jnp.where(equal, 1.0, v1)
-    v2s = jnp.where(equal, 2.0, v2)
-    return jnp.where(equal, v1, (v1s - v2s) / jnp.log(v1s / v2s))
+    # logarithmic. (v1-v2)/log(v1/v2) is ill-conditioned when v1 ~= v2 (the
+    # ratio rounds to 1+delta with O(eps/delta) relative error), which breaks
+    # the i<->j symmetry of inter-node conductances at ~1e-4 relative. Use a
+    # symmetric hi/lo formulation: arithmetic mean when the values are within
+    # ~100*sqrt(eps) of each other (equals the log-mean to O(delta^2), below
+    # working precision), else (hi-lo)/(-log(lo/hi)) — exact for any dynamic
+    # range, including lo = 0 (log-mean -> 0, as in the reference).
+    v1, v2 = jnp.asarray(v1), jnp.asarray(v2)
+    hi = jnp.maximum(v1, v2)
+    lo = jnp.minimum(v1, v2)
+    eps = jnp.finfo(jnp.result_type(v1, v2)).eps
+    near = (hi - lo) <= 100.0 * jnp.sqrt(eps) * hi
+    r = jnp.where(near | (hi == 0.0), 1.0, lo / jnp.where(hi == 0.0, 1.0, hi))
+    denom = jnp.where(near, 1.0, -jnp.log(r))   # avoid 0/0 in the dead branch
+    return jnp.where(near, 0.5 * (hi + lo), (hi - lo) / denom)

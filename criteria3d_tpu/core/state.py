@@ -46,6 +46,12 @@ class SolverParameters:
     # reference's trajectories (required for field-level parity); False uses
     # the physically-intended fractional head difference.
     courant_reference_compat: bool = True
+    # Accumulate per-link water flows [m3] (linkData waterFlowSum,
+    # water.cpp:269-277) into WaterState.link_flow_sum; costs 10 extra
+    # full-size arrays, so off by default. Unlike the reference — which
+    # reads the matrix AFTER Jacobi preconditioning, scaling its sums by
+    # 1/diag — we use the physical (un-preconditioned) conductances.
+    track_link_flow: bool = False
     # Reproduce the reference's culvert water-level expression verbatim:
     # water.cpp:760 computes `0.5*(H - Hold) - z` (the *difference* of the
     # heads, not their Crank-Nicolson average, which is almost certainly the
@@ -139,6 +145,10 @@ class WaterState:
     sink_source: jax.Array       # [m3 s-1] user-set water sink/source
     pond: jax.Array              # (R,C) [m] surface pond storage height
     boundary_flow_sum: jax.Array  # (L,R,C) [m3] cumulated boundary flow
+    # (10,L,R,C) [m3] cumulated per-link flows (up, down, 8 lateral), the
+    # linkData[..].waterFlowSum analogue (water.cpp:269-277); shape (0,)
+    # when SolverParameters.track_link_flow is off (no memory cost)
+    link_flow_sum: jax.Array
 
     dt_curr: jax.Array           # [s] adaptive time step (persistent)
     courant: jax.Array           # [-] last surface Courant number
@@ -184,11 +194,14 @@ class WaterState:
         k = k.at[0].set(0.0)
 
         zeros = jnp.zeros((L, R, C), dt)
+        link0 = (jnp.zeros((10, L, R, C), dt) if params.track_link_flow
+                 else jnp.zeros((0,), dt))
         state = WaterState(
             h=h, h_old=h, best_h=h, se=se, k=k,
             sink_source=zeros,
             pond=jnp.asarray(grid.pond_max, dt),
             boundary_flow_sum=zeros,
+            link_flow_sum=link0,
             dt_curr=jnp.asarray(params.delta_t_max, dt),
             courant=jnp.zeros((), dt),
             balance_prev=BalanceData.zero(dt),

@@ -48,6 +48,7 @@ def initialize_balance(grid: Grid, params: SolverParameters,
         h=state.h, h_old=state.h, best_h=state.h, se=se, k=state.k,
         sink_source=state.sink_source, pond=state.pond,
         boundary_flow_sum=jnp.zeros_like(state.boundary_flow_sum),
+        link_flow_sum=jnp.zeros_like(state.link_flow_sum),
         dt_curr=state.dt_curr, courant=state.courant,
         balance_prev=bal, balance_current=bal,
         balance_period=bal, balance_whole=bal,
@@ -170,6 +171,10 @@ class _ApproxCarry(NamedTuple):
     dt_curr: jax.Array
     courant: jax.Array
     balance: tuple  # (storage, sink, mbe, mbr)
+    # physical (un-preconditioned) conductances of the last assembly, kept
+    # only when params.track_link_flow (else zero-size placeholders)
+    a_up: jax.Array
+    a_lat: jax.Array
 
 
 def _approximation_loop(grid: Grid, params: SolverParameters,
@@ -282,6 +287,12 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
                 carry = carry._replace(
                     h=h_new, se=se_new, k=k, water_flow=flow,
                     boundary_rate=rate, courant=system.courant)
+                if params.track_link_flow:
+                    # recover physical conductances from the preconditioned
+                    # stencil (updateLinkFlux analogue, water.cpp:269-277)
+                    carry = carry._replace(
+                        a_up=system.c_up * system.diag,
+                        a_lat=system.c_lat * system.diag[None])
                 carry = evaluate(carry)
                 return carry._replace(approx=approx + 1)
 
@@ -293,6 +304,12 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
         return jnp.logical_and(carry.result == RUNNING,
                                carry.approx < params.max_approximations)
 
+    if params.track_link_flow:
+        a_up0 = jnp.zeros_like(h)
+        a_lat0 = jnp.zeros((8,) + h.shape, dtype)
+    else:
+        a_up0 = jnp.zeros((0,), dtype)
+        a_lat0 = jnp.zeros((0,), dtype)
     init = _ApproxCarry(
         approx=jnp.zeros((), jnp.int32),
         result=jnp.asarray(RUNNING),
@@ -301,6 +318,7 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
         best_h=h, best_mbr=jnp.asarray(jnp.inf, dtype),
         dt_curr=dt_curr, courant=zero,
         balance=(zero, zero, zero, zero),
+        a_up=a_up0, a_lat=a_lat0,
     )
     return lax.while_loop(cond, body, init)
 
@@ -346,6 +364,22 @@ def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
             mbe=st.balance_period.mbe, mbr=st.balance_period.mbr)
         new_bflow = st.boundary_flow_sum + out.boundary_rate * dt
 
+        if params.track_link_flow:
+            # per-link integrated flows [m3], positive = inflow to the node
+            # (linkData waterFlowSum; water.cpp:269-277 — see DEVIATIONS.md:
+            # we use physical conductances, not post-preconditioning values)
+            h_n = out.h
+            a_down = jnp.roll(out.a_up, -1, axis=0).at[-1].set(0.0)
+            f_up = out.a_up * (jnp.roll(h_n, 1, axis=0) - h_n) * dt
+            f_down = a_down * (jnp.roll(h_n, -1, axis=0) - h_n) * dt
+            f_lat = [out.a_lat[i] * (W.shift2d(h_n, di, dj) - h_n) * dt
+                     for i, (di, dj) in enumerate(W.LATERAL_OFFSETS)]
+            flows = jnp.stack([f_up, f_down] + f_lat)
+            new_link = jnp.where(accepted, st.link_flow_sum + flows,
+                                 st.link_flow_sum)
+        else:
+            new_link = st.link_flow_sum
+
         new_state = WaterState(
             h=jnp.where(accepted, out.h, h_old),
             h_old=jnp.where(accepted, h_old, st.h_old),
@@ -356,6 +390,7 @@ def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
             pond=st.pond,
             boundary_flow_sum=jnp.where(accepted, new_bflow,
                                         st.boundary_flow_sum),
+            link_flow_sum=new_link,
             dt_curr=out.dt_curr,
             courant=out.courant,
             balance_prev=jax.tree.map(
