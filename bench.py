@@ -70,8 +70,9 @@ def main():
     t_start = time.time()
     coarsen = int(os.environ.get("BENCH_COARSEN", "1"))
     grid = build_grid(coarsen)
-    # fast mode: f64 assembly + f32 psi-form sweeps (validated to <1 mm of
-    # the f64 path, tests/test_fast_f32.py); BENCH_MODE=ref for pure f64
+    # fast mode: f64 state + f32 assembly/psi-form sweeps (validated to <1 mm
+    # of the f64 path on a locked dt trajectory, tests/test_fast_f32.py);
+    # BENCH_MODE=ref for pure f64
     if os.environ.get("BENCH_MODE", "fast") == "fast":
         params = SolverParameters.fast_f32(
             use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1")

@@ -199,18 +199,21 @@ def compute_mean(v1: jax.Array, v2: jax.Array, mean_type: MeanType) -> jax.Array
     if mean_type == MeanType.GEOMETRIC:
         sign = jnp.sign(v1)
         return sign * jnp.sqrt(v1 * v2)
-    # logarithmic. (v1-v2)/log(v1/v2) is ill-conditioned when v1 ~= v2 (the
-    # ratio rounds to 1+delta with O(eps/delta) relative error), which breaks
-    # the i<->j symmetry of inter-node conductances at ~1e-4 relative. Use a
-    # symmetric hi/lo formulation: arithmetic mean when the values are within
-    # ~100*sqrt(eps) of each other (equals the log-mean to O(delta^2), below
-    # working precision), else (hi-lo)/(-log(lo/hi)) — exact for any dynamic
-    # range, including lo = 0 (log-mean -> 0, as in the reference).
+    # logarithmic. The naive (v1-v2)/log(v1/v2) is ill-conditioned when
+    # v1 ~= v2 (the ratio rounds to 1+delta with O(eps/delta) relative
+    # error), which breaks the i<->j symmetry of inter-node conductances.
+    # Well-conditioned symmetric form: with d = (hi-lo)/hi computed from the
+    # difference (exact to one rounding), log(hi/lo) = -log1p(-d) is accurate
+    # for ALL d in (0,1], so (hi-lo)/(-log1p(-d)) has uniform relative
+    # accuracy over any dynamic range — including lo = 0 (d=1, log-mean -> 0,
+    # as in the reference) — and agrees bit-for-bit in spirit between the
+    # f64 parity path and the f32 sweep path.
     v1, v2 = jnp.asarray(v1), jnp.asarray(v2)
     hi = jnp.maximum(v1, v2)
     lo = jnp.minimum(v1, v2)
-    eps = jnp.finfo(jnp.result_type(v1, v2)).eps
-    near = (hi - lo) <= 100.0 * jnp.sqrt(eps) * hi
-    r = jnp.where(near | (hi == 0.0), 1.0, lo / jnp.where(hi == 0.0, 1.0, hi))
-    denom = jnp.where(near, 1.0, -jnp.log(r))   # avoid 0/0 in the dead branch
-    return jnp.where(near, 0.5 * (hi + lo), (hi - lo) / denom)
+    hi_safe = jnp.where(hi == 0.0, 1.0, hi)
+    d = (hi - lo) / hi_safe
+    denom = -jnp.log1p(-jnp.minimum(d, 1.0))
+    tiny = d <= jnp.finfo(jnp.result_type(v1, v2)).tiny
+    denom = jnp.where(tiny, 1.0, denom)         # avoid 0/0 in the dead branch
+    return jnp.where(tiny, hi, (hi - lo) / denom)

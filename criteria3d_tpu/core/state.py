@@ -83,11 +83,16 @@ class SolverParameters:
         """Mixed-precision preset: f64 assembly + f32 psi-form Jacobi sweeps.
 
         The reference is FP64 throughout (types_gpu.h:34). Here the hot inner
-        loop (hundreds of sweeps per Picard iteration) runs in float32 on the
-        native TPU VPU while assembly, mass balance and state stay f64;
-        float32 cannot reach the reference's 1e-10 residual so the inner
-        tolerance is relaxed to 1e-7 (the 1e-3 MBR acceptance gate — the
-        actual accuracy contract — is unchanged and evaluated in f64).
+        loop (hundreds of sweeps per Picard iteration) and the
+        transcendental-heavy conductance assembly run in float32 on the
+        native TPU VPU while state, psi differences and mass balance stay
+        f64; float32 cannot reach the reference's 1e-10 residual so the
+        inner tolerance is relaxed to 1e-7 (the 1e-3 MBR acceptance gate —
+        the actual accuracy contract — is unchanged and evaluated in f64).
+        Accuracy: heads match the f64 path to <1 mm on a locked time-step
+        trajectory; free-running, adaptive-dt decisions may flip near
+        thresholds, bounding agreement by the scheme's own inter-trajectory
+        discretization spread instead (tests/test_fast_f32.py).
         """
         import jax.numpy as jnp
         args = dict(sweep_dtype=jnp.float32, residual_tolerance=1e-7)
