@@ -73,11 +73,13 @@ def main():
     # fast mode: f64 state + f32 assembly/psi-form sweeps (validated to <1 mm
     # of the f64 path on a locked dt trajectory, tests/test_fast_f32.py);
     # BENCH_MODE=ref for pure f64
+    inner = "cg" if os.environ.get("BENCH_CG", "0") == "1" else "jacobi"
     if os.environ.get("BENCH_MODE", "fast") == "fast":
         params = SolverParameters.fast_f32(
-            use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1")
+            use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
+            inner_solver=inner)
     else:
-        params = SolverParameters()
+        params = SolverParameters(inner_solver=inner)
 
     @partial(jax.jit, static_argnames=("p",))
     def init_state(g, p):

@@ -71,6 +71,16 @@ class SolverParameters:
     # every sweep (same fixed point; a converged system may run up to K-1
     # extra no-op sweeps). Requires sweep_dtype=float32 and a TPU backend.
     use_pallas: bool = False
+    # Inner linear solver: "jacobi" (reference CPUSolver/GPUSolver default,
+    # cpusolver.cpp:672-703) or "cg" — Jacobi(diagonal)-preconditioned
+    # conjugate gradient, the analogue of the reference's optional "lineal"
+    # external-solver bridge (LinealiaLib CG/PCG, cpusolver.cpp:608-669,
+    # lineal/linealiaLib.h:9-97). The assembled system is a symmetric
+    # M-matrix, so CG applies; like the reference's lineal path it does NOT
+    # apply the per-sweep surface clamp — the clamp runs once on the
+    # converged solution. Typically converges in far fewer iterations than
+    # Jacobi; uses the same psi-weighted residual norm and tolerance.
+    inner_solver: str = "jacobi"
 
     def max_iterations_for(self, approx: int | jax.Array):
         """(approx+1) * maxIter/maxApprox, min 25 (solver.h:55-59)."""

@@ -99,6 +99,14 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
         sweep_sys = system
         x_init = x0
 
+    if params.inner_solver == "cg":
+        x, diverged = _cg_solve(sweep_sys, x_init, grid, params,
+                                max_iter, tol, psi_form=fast)
+        if fast:
+            x = grid.z + x.astype(params.dtype)
+            x = jnp.where(grid.mask, x, 0.0)
+        return x, diverged
+
     use_pallas = fast and params.use_pallas
     if use_pallas:
         from criteria3d_tpu.solver.pallas_jacobi import (SWEEPS_PER_BUNDLE,
@@ -136,6 +144,79 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
     if fast:
         x = grid.z + x.astype(params.dtype)
         x = jnp.where(grid.mask, x, 0.0)
+    return x, diverged
+
+
+def _cg_solve(system: W.LinearSystem, x_init: jax.Array, grid: Grid,
+              params: SolverParameters, max_iter, tol, psi_form: bool):
+    """Jacobi-preconditioned conjugate gradient on the assembled system.
+
+    The analogue of the reference's optional "lineal" external CG/PCG solver
+    (cpusolver.cpp:608-669, lineal/linealiaLib.h). Works entirely through the
+    stored *preconditioned* stencil: one Jacobi application ``G(x) = b + Cx``
+    gives the preconditioned residual ``z = G(x) - x = D^-1 (b_phys - A x)``,
+    and the preconditioned matvec is ``D^-1 A p = p - C p``; M-weighted dot
+    products use the stored diagonal. Convergence uses the same psi-weighted
+    mean |z| norm as the Jacobi path (z IS the Jacobi update dx), so the
+    residual tolerance keeps its meaning. Like the reference's lineal path,
+    no per-sweep surface clamp — the clamp is applied once at the end.
+
+    Returns (x, diverged); diverged on CG breakdown (pAp <= 0) or a norm
+    blow-up past 10x the best seen, mirroring solveLinearSystem's abort.
+    """
+    dt = x_init.dtype
+    mask = grid.mask
+    diag = system.diag.astype(dt)
+    z_field = grid.z.astype(dt)
+
+    def weight_norm(z, x):
+        apsi = jnp.abs(x) if psi_form else jnp.abs(x - z_field)
+        w = jnp.where(apsi > 1.0, 1.0 / apsi, 1.0)
+        return jnp.sum(jnp.where(mask, jnp.abs(z) * w, 0.0)) / grid.n_nodes
+
+    def mdot(a, b):
+        # <a, b>_D in f64 (the balance gate's precision) regardless of dtype
+        return jnp.sum(jnp.where(mask, diag * a * b, 0.0),
+                       dtype=jnp.float64).astype(dt)
+
+    z0 = system.b + W.stencil_apply(system, x_init) - x_init
+    z0 = jnp.where(mask, z0, 0.0)
+    rho0 = mdot(z0, z0)
+    norm0 = weight_norm(z0, x_init)
+
+    def cond(c):
+        _, _, _, _, it, _, done, _ = c
+        return jnp.logical_and(~done, it < max_iter)
+
+    def body(c):
+        x, z, p, rho, it, best, done, diverged = c
+        w = p - W.stencil_apply(system, p)          # D^-1 A p
+        w = jnp.where(mask, w, 0.0)
+        pAp = mdot(p, w)
+        breakdown = pAp <= 0.0
+        alpha = jnp.where(breakdown, 0.0, rho / jnp.where(pAp != 0.0, pAp, 1.0))
+        x_new = jnp.where(mask, x + alpha * p, 0.0)
+        z_new = jnp.where(mask, z - alpha * w, 0.0)
+        rho_new = mdot(z_new, z_new)
+        beta = rho_new / jnp.where(rho != 0.0, rho, 1.0)
+        p_new = z_new + beta * p
+        norm = weight_norm(z_new, x_new)
+        converged = norm < tol
+        div = breakdown | jnp.logical_and(~converged, norm > best * 10.0)
+        best = jnp.minimum(best, norm)
+        return (x_new, z_new, p_new, rho_new, it + 1, best,
+                converged | div, div)
+
+    init = (x_init, z0, z0, rho0, jnp.zeros((), jnp.int32),
+            jnp.maximum(norm0, jnp.asarray(tol, norm0.dtype)),
+            norm0 < tol, jnp.zeros((), bool))
+    x, _, _, _, _, _, _, diverged = lax.while_loop(cond, body, init)
+
+    # surface clamp once on the converged solution (JacobiWaterCPU applies
+    # it per sweep, water.cpp:583-585; the lineal path not at all)
+    floor0 = jnp.zeros_like(z_field[0]) if psi_form else z_field[0]
+    x = x.at[0].set(jnp.maximum(x[0], floor0))
+    x = jnp.where(mask, x, 0.0)
     return x, diverged
 
 

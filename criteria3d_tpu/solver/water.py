@@ -445,6 +445,20 @@ def jacobi_sweep_psi(system: LinearSystem, psi: jax.Array, grid: Grid,
     return psi_new, norm
 
 
+def stencil_apply(system: LinearSystem, x: jax.Array) -> jax.Array:
+    """Apply the preconditioned off-diagonal stencil: ``(C x)_i = sum_j c_ij x_j``.
+
+    ``c_ij = a_ij / diag_i`` as stored by :func:`assemble_system`. Used by the
+    conjugate-gradient inner solver (the reference's "lineal" CG/PCG bridge,
+    cpusolver.cpp:608-669): the preconditioned matvec is ``D^-1 A x = x - C x``.
+    """
+    acc = system.c_up * jnp.roll(x, 1, axis=0)
+    acc = acc + system.c_down * jnp.roll(x, -1, axis=0)
+    for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+        acc = acc + system.c_lat[idx] * shift2d(x, di, dj)
+    return acc
+
+
 def current_mass_balance(grid: Grid, params: SolverParameters,
                          h: jax.Array, se: jax.Array, water_flow: jax.Array,
                          prev_storage: jax.Array, dt: jax.Array):

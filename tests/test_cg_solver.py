@@ -1,0 +1,62 @@
+"""Conjugate-gradient inner solver (SolverParameters.inner_solver="cg").
+
+The analogue of the reference's optional "lineal" external CG/PCG bridge
+(cpusolver.cpp:608-669, lineal/linealiaLib.h:9-97): same assembled system,
+diagonal (Jacobi) preconditioning, solved by PCG instead of Jacobi sweeps.
+Accuracy contract mirrors the fast-f32 one: identical fixed point (the
+system is a symmetric M-matrix), so on a locked-dt trajectory heads match
+the Jacobi path to well under a millimetre; free-running, the integral
+quantities agree and the MBR gate still closes.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from criteria3d_tpu import SolverParameters, compute_period
+from criteria3d_tpu.solver import water as W
+from tests.test_fast_f32 import build
+
+
+@pytest.mark.parametrize("fast", [False, True], ids=["f64", "fast_f32"])
+def test_cg_matches_jacobi_on_locked_trajectory(fast):
+    mk = SolverParameters.fast_f32 if fast else SolverParameters
+    pj = mk(delta_t_min=60.0, delta_t_max=60.0)
+    pc = mk(delta_t_min=60.0, delta_t_max=60.0, inner_solver="cg")
+
+    gj, sj = build(pj)
+    gc, sc = build(pc)
+
+    outj = compute_period(gj, pj, sj, 3600.0)
+    outc = compute_period(gc, pc, sc, 3600.0)
+
+    assert abs(float(outc.balance_whole.mbr)) < 2e-3
+    psij = np.asarray(outj.matric_potential(gj))
+    psic = np.asarray(outc.matric_potential(gc))
+    mask = np.asarray(gj.mask)
+    err = np.abs(psij - psic)[mask]
+    assert err.max() < 1e-3, f"max psi error {err.max():.2e} m"
+
+
+def test_cg_free_running_hydrology():
+    pj = SolverParameters()
+    pc = dataclasses.replace(pj, inner_solver="cg")
+
+    gj, sj = build(pj)
+    gc, sc = build(pc)
+
+    outj = compute_period(gj, pj, sj, 3600.0)
+    outc = compute_period(gc, pc, sc, 3600.0)
+
+    assert abs(float(outc.balance_whole.mbr)) < 2e-3
+    s_j = float(W.total_water_content(gj, pj, outj.h, outj.se))
+    s_c = float(W.total_water_content(gc, pc, outc.h, outc.se))
+    assert s_c == pytest.approx(s_j, rel=1e-4)
+
+    psij = np.asarray(outj.matric_potential(gj))
+    psic = np.asarray(outc.matric_potential(gc))
+    mask = np.asarray(gj.mask)
+    err = np.abs(psij - psic)[mask]
+    assert err.max() < 0.1, f"max psi error {err.max():.2e} m"
+    assert np.median(err) < 1e-2, f"median psi error {np.median(err):.2e} m"
