@@ -202,17 +202,25 @@ def water_content_thresholds(grid: Grid, params: SolverParameters,
 
 
 def transpiration_sink(grid: Grid, params: SolverParameters, crop: CropParameters,
-                       theta, et0, lai, degree_days, soil_depth=None):
+                       theta, et0, lai, degree_days, soil_depth=None,
+                       demand_mm=None):
     """Actual transpiration sink: (sink [m3 s-1] (L,R,C), actual [mm] (R,C)).
 
     Vectorised assignTranspiration (project3D.cpp:2461-2608): per-layer
     water-stress ratios against the scarcity/surplus thresholds, hydraulic
     redistribution from unstressed roots, flows assigned per node.
+
+    ``demand_mm`` optionally caps the potential transpiration with an
+    externally computed stomatal demand (the VINE3D coupling: the reference
+    feeds the grapevine's Farquhar transpiration into the sink,
+    grapevine.cpp getTranspirationLayer).
     """
     if soil_depth is None:
         soil_depth = float(grid.layer_depth[-1] + grid.layer_thickness[-1] * 0.5)
 
     max_t = potential_transpiration(et0, lai, crop.kc_max)     # (R,C) [mm]
+    if demand_mm is not None:
+        max_t = jnp.minimum(max_t, jnp.asarray(demand_mm))
     length = root_length(crop, degree_days, soil_depth)
     density = root_density_profile(crop, grid, length)          # (L,R,C)
 

@@ -71,8 +71,26 @@ def vapor_concentration_from_pressure(vp_pa, t_kelvin):
 
 
 def emissivity_from_vapor_pressure(vp_kpa):
-    """Net emissivity (meteo.cpp:433-436)."""
+    """NET emissivity for outgoing longwave (meteo.cpp:433-436).
+
+    NOTE: this is the FAO net-emissivity term (0.34 - 0.14*sqrt(ea)) used in
+    the net-radiation budget; it is NOT an atmospheric emissivity for
+    computing incoming longwave — use
+    :func:`atmospheric_emissivity_brutsaert` for that.
+    """
     return 0.34 - 0.14 * jnp.sqrt(vp_kpa)
+
+
+def atmospheric_emissivity_brutsaert(vp_pa, t_kelvin):
+    """Clear-sky atmospheric emissivity for incoming longwave.
+
+    Brutsaert (1975): eps = 1.24 * (ea[hPa] / T[K])^(1/7), typically
+    0.65-0.85. The reference computes incoming longwave inside the heat
+    boundary (agrolib/soilFluxes3D/heat.cpp longwave terms); this is the
+    standard clear-sky closure for it.
+    """
+    ea_hpa = jnp.maximum(jnp.asarray(vp_pa), 1.0) / 100.0
+    return jnp.clip(1.24 * (ea_hpa / t_kelvin) ** (1.0 / 7.0), 0.0, 1.0)
 
 
 def et0_penman_hourly(height, normalized_transmissivity, global_irradiance,

@@ -115,6 +115,7 @@ class Vine3DModel:
     _rh_sum: jax.Array | None = None
     _assim_gm2: jax.Array | None = None      # daily net assimilation [g m-2]
     _irrigation_hours: dict | None = None    # field_index -> booked hours
+    _t30_avg: float = 15.0                   # running ~30-day mean T [degC]
 
     @staticmethod
     def create(grid: Grid, params: SolverParameters, config: ModelConfig,
@@ -206,9 +207,9 @@ class Vine3DModel:
 
         t_air = jnp.asarray(forcing.air_temperature, jnp.float64)
         rh = jnp.clip(jnp.asarray(forcing.rel_humidity, jnp.float64), 1., 100.)
-        pressure = meteo_mod.pressure_from_altitude(dem2d) * 1000.0   # [Pa]
-        es = meteo_mod.saturation_vapor_pressure(t_air) * 1000.0      # [Pa]
-        vpd = jnp.maximum(es * (1.0 - rh / 100.0), 0.0)
+        pressure = meteo_mod.pressure_from_altitude(dem2d)            # [Pa]
+        es = meteo_mod.saturation_vapor_pressure(t_air)               # [Pa]
+        vpd = jnp.maximum(es * (1.0 - rh / 100.0), 0.0)               # [Pa]
         slope_sat = meteo_mod.saturation_slope(
             t_air, es / 1000.0) * 1000.0                              # [Pa/K]
         psychro = meteo_mod.psychrometric_constant(
@@ -217,10 +218,11 @@ class Vine3DModel:
 
         sin_el = jnp.maximum(
             jnp.sin(rad.sun["elevation_refr"] * jnp.pi / 180.0), 0.0)
-        # incoming longwave from clear/cloudy-sky emissivity
+        # incoming longwave from the Brutsaert clear-sky emissivity
         from criteria3d_tpu.constants import STEFAN_BOLTZMANN
-        eps_atm = meteo_mod.emissivity_from_vapor_pressure(
-            es / 1000.0 * rh / 100.0)
+        ea = es * rh / 100.0                                          # [Pa]
+        eps_atm = meteo_mod.atmospheric_emissivity_brutsaert(
+            ea, t_air + ZEROCELSIUS)
         longwave = eps_atm * STEFAN_BOLTZMANN * (t_air + ZEROCELSIUS) ** 4
         absorbed = hy.big_leaf_radiation(lai, sin_el, rad.beam, rad.diffuse,
                                          t_air, longwave)
@@ -233,9 +235,12 @@ class Vine3DModel:
         stress = jnp.maximum(1.0 - self.stress, 0.05)
         for sunlit, t_leaf in ((True, t_sun), (False, t_shade)):
             par = absorbed["par_sunlit" if sunlit else "par_shaded"]
+            # Kattge-Knorr acclimation wants the last-30-day mean air
+            # temperature in degC (hydrall.cpp upscale), not the instant
+            # hourly Kelvin value — use the running mean accumulator.
             fp = hy.farquhar_parameters(
                 t_leaf, par, lai, absorbed["kb"], absorbed["kd_par"],
-                pressure, t_air + ZEROCELSIUS, sunlit=sunlit)
+                pressure, self._t30_avg, sunlit=sunlit)
             a, _, tr = hy.photosynthesis_kernel(
                 fp, co2_pa=co2_pa, vpd_pa=vpd, pressure_pa=pressure,
                 air_temp_c=t_air,
@@ -301,11 +306,18 @@ class Vine3DModel:
         theta = jnp.where(grid.mask, theta_from_se(grid.soil, se), 0.0)
 
         vine_dd = jnp.full(dem2d.shape, 1200.0)   # mature vines: full roots
+        # vine sink = min(stomatal Farquhar demand, water-limited uptake) —
+        # the reference couples grapevine transpiration into the sink
+        # (grapevine.cpp getTranspirationLayer via modelDailyCycle)
         sink_v, act_v = crop_mod.transpiration_sink(
-            grid, params, self.vine_crop, theta, et0, fluxes["lai"], vine_dd)
+            grid, params, self.vine_crop, theta, et0, fluxes["lai"], vine_dd,
+            demand_mm=fluxes["transpiration_mm"])
+        # inter-row grass: shallow roots, ET0-driven, always mature cover
+        grass_dd = jnp.full(dem2d.shape,
+                            self.grass_crop.degree_days_root_growth)
         sink_g, act_g = crop_mod.transpiration_sink(
             grid, params, self.grass_crop, theta, et0,
-            jnp.full(dem2d.shape, self.grass_lai), vine_dd)
+            jnp.full(dem2d.shape, self.grass_lai), grass_dd)
         # stress = 1 - actual/potential (getStressCoefficient,
         # grapevine.cpp:1039-1052, on the water-limited uptake)
         pot_v = crop_mod.potential_transpiration(
@@ -362,6 +374,9 @@ class Vine3DModel:
         p = self.vine_params
         n = max(self._nhours, 1)
         tavg = self._tsum / n
+        # exponential running mean with ~30-day e-folding (Kattge-Knorr
+        # acclimation input of farquhar_parameters)
+        self._t30_avg += (tavg - self._t30_avg) / 30.0
         doy = date.timetuple().tm_yday
 
         self.vine = gv.phenology_daily_step(self.vine, p, tavg, doy)

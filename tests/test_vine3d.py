@@ -1,0 +1,104 @@
+"""VINE3D hourly-cycle smoke tests: plausible flux magnitudes and coupling.
+
+Guards the unit conventions of the Farquhar photosynthesis path
+(pressure/VPD in Pa, slope/psychro in Pa/K, acclimation temperature in degC)
+— see hydrall.cpp photosynthesisKernel / upscale and the vine coupling in
+bin/VINE3D/modelCore.cpp.
+"""
+
+import datetime
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from criteria3d_tpu.core.grid import Grid
+from criteria3d_tpu.core.soil import SoilFields
+from criteria3d_tpu.core.state import SolverParameters
+from criteria3d_tpu.model import HourlyForcing, ModelConfig
+from criteria3d_tpu.vine3d import FieldBookEntry, FieldOperation, Vine3DModel
+
+
+@pytest.fixture(scope="module")
+def vine_model():
+    dem = np.full((5, 5), 150.0)
+    dem += np.arange(5)[:, None] * 0.5
+    soil = SoilFields.uniform(dem.shape, vg_alpha=1.2, vg_n=1.5, vg_he=0.02,
+                              theta_s=0.45, theta_r=0.06, k_sat=2e-5)
+    grid = Grid.build(dem, 10.0, soil, total_depth=0.8)
+    params = SolverParameters()
+    config = ModelConfig(latitude=45.06, longitude=9.27, timezone=1,
+                         compute_snow=False)
+    model = Vine3DModel.create(grid, params, config, matric_potential=-3.0)
+    # mid-season vine: canopy developed
+    import dataclasses
+    model.vine = dataclasses.replace(
+        model.vine,
+        lai=jnp.full(dem.shape, 2.5),
+        stage=jnp.full(dem.shape, 3.5),
+        shoot_leaf_number=jnp.full(dem.shape, 14.0))
+    return model
+
+
+def summer_forcing(shape, hour):
+    f = lambda v: jnp.full(shape, v, jnp.float64)
+    t = 18.0 + 8.0 * np.sin((hour - 8) / 24.0 * 2 * np.pi)
+    return HourlyForcing(air_temperature=f(t), precipitation=f(0.0),
+                         rel_humidity=f(60.0), wind_speed=f(1.5),
+                         transmissivity=0.7)
+
+
+def test_midday_fluxes_plausible(vine_model):
+    """Assimilation and transpiration magnitudes at midday in July."""
+    m = vine_model
+    shape = m.grid.shape[1:]
+    out = m.run_hour(summer_forcing(shape, 12), 2023, 7, 10, 12)
+
+    demand = np.asarray(out["vine_transpiration_demand"])
+    valid = np.asarray(m.grid.mask[0])
+    # stomatal transpiration demand: positive daytime, < ~1.5 mm/h
+    assert (demand[valid] > 0.0).all()
+    assert demand[valid].max() < 1.5
+
+    # hourly assimilation accumulated in the daily pool: < ~3 g m-2 h-1
+    assim = np.asarray(m._assim_gm2)
+    assert (assim[valid] >= 0.0).all()
+    assert assim[valid].max() < 3.0
+
+    # actual vine transpiration is bounded by the stomatal demand
+    act = np.asarray(out["vine_transpiration"])
+    assert (act[valid] <= demand[valid] + 1e-9).all()
+    # whole-period MBR: loose gate (tiny dry-soil fluxes make the ratio noisy)
+    assert out["mbr"] < 1e-2
+
+
+def test_night_fluxes_near_zero(vine_model):
+    m = vine_model
+    shape = m.grid.shape[1:]
+    out = m.run_hour(summer_forcing(shape, 2), 2023, 7, 11, 2)
+    demand = np.asarray(out["vine_transpiration_demand"])
+    valid = np.asarray(m.grid.mask[0])
+    # night: no light -> no stomatal transpiration to speak of
+    assert demand[valid].max() < 0.05
+
+
+def test_daily_update_and_t30(vine_model):
+    m = vine_model
+    t30_before = m._t30_avg
+    day_out = m.daily_update(datetime.date(2023, 7, 11))
+    # running mean moved toward the simulated (warm) day
+    assert m._t30_avg != t30_before
+    assert 0.0 <= m._t30_avg < 45.0
+    assert float(jnp.max(day_out["lai"])) <= m.vine_params.lai_max + 1e-6
+
+
+def test_irrigation_and_field_book(vine_model):
+    m = vine_model
+    date = datetime.date(2023, 7, 12)
+    m.field_book.append(FieldBookEntry(date=date, field_index=0,
+                                       operation=FieldOperation.IRRIGATION,
+                                       quantity=3))
+    m.apply_field_book(date)
+    # irrigation runs in the last `quantity` hours of the day
+    assert float(jnp.max(m.hourly_irrigation(12))) == 0.0
+    assert float(jnp.max(m.hourly_irrigation(22))) == m.max_irrigation_rate
