@@ -54,7 +54,11 @@ class ProjectConfig:
     soil_map_path: str = ""
     soil_db_path: str = ""
     landuse_map_path: str = ""
+    crop_db_path: str = ""
     output_points_path: str = ""
+    output_db_path: str = ""
+    # [simulation]
+    compute_heat: bool = False
     # [output] depth lists [cm]
     output_water_content_depths: tuple = ()
     output_water_potential_depths: tuple = ()
@@ -83,9 +87,11 @@ class ProjectConfig:
     # [interpolation]
     min_regression_r2: float = 0.1
     interpolation_algorithm: str = "idw"
+    use_dew_point: bool = True
     # [meteo]
     rainfall_threshold: float = 0.2
     samani_coefficient: float = 0.17
+    wind_intensity_default: float = 2.0
     # [climate]
     climate_monthly: dict = dataclasses.field(default_factory=dict)
 
@@ -117,7 +123,12 @@ def load_project_ini(path: str) -> ProjectConfig:
         cfg.soil_map_path = rel(prj.get("soil_map", ""))
         cfg.soil_db_path = rel(prj.get("soil_db", ""))
         cfg.landuse_map_path = rel(prj.get("landuse_map", ""))
+        cfg.crop_db_path = rel(prj.get("crop_db", ""))
         cfg.output_points_path = rel(prj.get("output_points", ""))
+        cfg.output_db_path = rel(prj.get("output_db", ""))
+
+    if cp.has_section("simulation"):
+        cfg.compute_heat = cp["simulation"].getboolean("compute_heat", False)
 
     if cp.has_section("output"):
         out = cp["output"]
@@ -187,6 +198,7 @@ def load_parameters_ini(path: str, cfg: ProjectConfig | None = None) -> ProjectC
                                            cfg.min_regression_r2)
         cfg.interpolation_algorithm = i.get("algorithm",
                                             cfg.interpolation_algorithm)
+        cfg.use_dew_point = i.getboolean("usedewpoint", cfg.use_dew_point)
 
     if cp.has_section("meteo"):
         m = cp["meteo"]
@@ -194,6 +206,9 @@ def load_parameters_ini(path: str, cfg: ProjectConfig | None = None) -> ProjectC
                                             cfg.rainfall_threshold)
         cfg.samani_coefficient = m.getfloat("samani_coefficient",
                                             cfg.samani_coefficient)
+        wind_default = m.getfloat("wind_intensity_default", 0.0)
+        if wind_default > 0:
+            cfg.wind_intensity_default = wind_default
 
     if cp.has_section("climate"):
         cfg.climate_monthly = {k: _parse_list(v)

@@ -24,8 +24,8 @@ import numpy as np
 from criteria3d_tpu.constants import GRAVITY, DAY_SECONDS, NODATA
 
 __all__ = ["SoilHorizon", "SoilProfile", "read_soil_db", "fit_van_genuchten",
-           "CropRecord", "read_crop_db", "read_land_units",
-           "MeteoPoint", "read_meteo_points_db"]
+           "usda_texture_class", "CropRecord", "read_crop_db",
+           "read_land_units", "MeteoPoint", "read_meteo_points_db"]
 
 
 def _ro(path: str) -> sqlite3.Connection:
@@ -83,23 +83,45 @@ class SoilProfile:
         return None
 
 
-def _texture_class_usda(sand, silt, clay):
-    """Simplified USDA triangle for picking texture-class VG defaults."""
+def usda_texture_class(sand, silt, clay) -> int:
+    """USDA texture-triangle class id 1-12 (getUSDATextureClass,
+    agrolib/soil/soil.cpp:252-289) — the key of the ``van_genuchten``
+    texture-class defaults table. Returns NODATA when the fractions are
+    missing or don't sum to ~100%."""
+    if sand in (None, NODATA) or clay in (None, NODATA):
+        return int(NODATA)
+    if silt in (None, NODATA):
+        silt = 100.0 - sand - clay
+    if abs(sand + clay + silt - 100.0) > 2.0:
+        return int(NODATA)
+
+    cls = int(NODATA)
     if clay >= 40:
-        return "clay"
-    if clay >= 27:
-        return "clay loam" if sand < 45 else "sandy clay loam"
-    if silt >= 80:
-        return "silt"
-    if silt >= 50:
-        return "silt loam"
-    if sand >= 85:
-        return "sand"
-    if sand >= 70:
-        return "loamy sand"
-    if sand >= 52:
-        return "sandy loam"
-    return "loam"
+        cls = 12                                       # clay
+    if silt >= 40 and clay >= 40:
+        cls = 11                                       # silty clay
+    if clay >= 35 and sand >= 45:
+        cls = 10                                       # sandy clay
+    if (clay < 27.5 and 50 <= silt <= 80) or (clay >= 12.5 and silt >= 80):
+        cls = 4                                        # silty loam
+    if clay < 12.5 and silt >= 80:
+        cls = 6                                        # silt
+    if clay < 40 and sand < 20 and clay >= 27.5:
+        cls = 8                                        # silty clay loam
+    if (clay < 20 and sand >= 52.5) or \
+            (clay < 7.5 and silt < 50 and 42.5 <= sand <= 52.5):
+        cls = 3                                        # sandy loam
+    if sand >= 70 and clay <= sand - 70:
+        cls = 2                                        # loamy sand
+    if sand >= 85 and clay <= 2 * sand - 170:
+        cls = 1                                        # sand
+    if 20 <= clay < 35 and sand >= 45 and silt < 27.5:
+        cls = 7                                        # sandy clay loam
+    if 7.5 <= clay < 27.5 and sand < 52.5 and 27.5 <= silt < 50:
+        cls = 5                                        # loam
+    if 27.5 <= clay < 40 and 20 <= sand < 45:
+        cls = 9                                        # clay loam
+    return cls
 
 
 def read_soil_db(path: str, fitting: bool = True) -> dict[str, SoilProfile]:
@@ -108,13 +130,14 @@ def read_soil_db(path: str, fitting: bool = True) -> dict[str, SoilProfile]:
     db = _ro(path)
     cur = db.cursor()
 
-    # texture-class defaults keyed by lowercase texture name
+    # texture-class defaults keyed by the USDA class id (the table's
+    # id_texture primary key; loadVanGenuchtenParameters, soilDbTools.cpp)
     vg_defaults = {}
     try:
         for row in cur.execute(
-                "SELECT texture, alpha, n, he, theta_r, theta_s, k_sat, l "
+                "SELECT id_texture, alpha, n, he, theta_r, theta_s, k_sat, l "
                 "FROM van_genuchten"):
-            vg_defaults[str(row[0]).strip().lower()] = row[1:]
+            vg_defaults[int(row[0])] = row[1:]
     except sqlite3.OperationalError:
         pass
 
@@ -155,7 +178,7 @@ def read_soil_db(path: str, fitting: bool = True) -> dict[str, SoilProfile]:
                 friction_angle=fric if fric is not None else NODATA)
 
             # class defaults from the texture triangle
-            tex = _texture_class_usda(h.sand, h.silt, h.clay)
+            tex = usda_texture_class(h.sand, h.silt, h.clay)
             if tex in vg_defaults:
                 alpha_kpa, n, he_kpa, tr, ts, ks_cmd, l = vg_defaults[tex]
                 h.vg_alpha = float(alpha_kpa) * GRAVITY    # [kPa-1] -> [m-1]

@@ -55,6 +55,23 @@ def latent_heat_vaporization(t_celsius):
     return 2501000.0 - 2369.2 * t_celsius
 
 
+def dew_point_from_rh(t_celsius, rel_humidity):
+    """Dew point [degC] from T and RH% — Tetens inversion consistent with
+    :func:`saturation_vapor_pressure` (tDewFromRelHum, meteo.cpp:210-222)."""
+    rh = jnp.clip(jnp.asarray(rel_humidity), 1.0, 100.0)
+    ea = rh / 100.0 * saturation_vapor_pressure(t_celsius)
+    ln = jnp.log(jnp.maximum(ea, 1e-6) / 611.0)
+    return 240.97 * ln / (17.502 - ln)
+
+
+def rh_from_dew_point(t_celsius, t_dew_celsius):
+    """RH% from T and dew point (relHumFromTdew, meteo.cpp:191-207)."""
+    td = jnp.minimum(jnp.asarray(t_dew_celsius), jnp.asarray(t_celsius))
+    rh = 100.0 * (saturation_vapor_pressure(td)
+                  / saturation_vapor_pressure(t_celsius))
+    return jnp.clip(rh, 0.0, 100.0)
+
+
 def psychrometric_constant(pressure_kpa, t_celsius):
     """[kPa degC-1] (physics.cpp:161-164)."""
     return CP * pressure_kpa / (RATIO_WATER_VD * latent_heat_vaporization(t_celsius))

@@ -20,6 +20,7 @@
 //
 // Output: one line per hour: "HOUR <i> <MBR>" then n lines "<index> <H>".
 
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -49,7 +50,9 @@ static void check(SF3Derror_t err, const char* what) {
 }
 
 int main(int argc, char** argv) {
-    if (argc < 3) die("usage: reference_runner topology.txt output.txt");
+    if (argc < 3)
+        die("usage: reference_runner topology.txt output.txt [nthreads]");
+    int nThreads = argc > 3 ? std::atoi(argv[3]) : 2;
     FILE* f = std::fopen(argv[1], "r");
     if (!f) die("cannot open topology file");
     FILE* out = std::fopen(argv[2], "w");
@@ -123,7 +126,7 @@ int main(int argc, char** argv) {
     // ---- build the model through the public API ----
     check(initializeSF3D(n, nSurf, (u8_t)nLat, true, false, false),
           "initializeSF3D");
-    setThreadsNumber(2);
+    setThreadsNumber((u8_t)nThreads);
 
     for (auto& s : soils)
         check(setSoilProperties((u16_t)s.s, (u8_t)s.h, s.alpha, s.nn, s.mm,
@@ -181,7 +184,13 @@ int main(int argc, char** argv) {
                                  getNodeTotalPotential(i));
             }
         } else {
+            auto t0 = std::chrono::steady_clock::now();
             computePeriod(3600.0);
+            double wall = std::chrono::duration<double>(
+                std::chrono::steady_clock::now() - t0).count();
+            // benchmark anchor: wall-clock per simulated hour (stderr so the
+            // golden-parity output format is unchanged)
+            std::fprintf(stderr, "TIME %u %.3f\n", h, wall);
         }
         std::fprintf(out, "HOUR %u %.17g\n", h, getWaterMBR());
         for (unsigned i = 0; i < n; ++i)
