@@ -37,6 +37,13 @@ class SolverParameters:
     mean_type: MeanType = MeanType.LOGARITHMIC
     lateral_vertical_ratio: float = 4.0
     heat_weight_factor: float = 0.5
+    # Heat process options (simulationFlags.computeHeatVapor /
+    # computeHeatAdvection, types.h:199-201): vapor adds the latent terms to
+    # conductivity/capacity and the atmospheric latent flux (including the
+    # HeatSurface evaporative *water* flux, water.cpp:708-747); advection
+    # adds rain/evaporation advected heat to the surface boundary.
+    heat_vapor: bool = False
+    heat_advection: bool = False
     courant_threshold: float = 0.5     # Δt growth gate
     instability_factor: float = 10.0
     # Reproduce the reference's integer-abs quirk in the surface-Courant

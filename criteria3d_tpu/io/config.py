@@ -96,8 +96,14 @@ class ProjectConfig:
     climate_monthly: dict = dataclasses.field(default_factory=dict)
 
     def solver_parameters(self, cell_size: float) -> SolverParameters:
-        return SolverParameters.from_model_accuracy(self.model_accuracy,
-                                                    cell_size)
+        import dataclasses as _dc
+        p = SolverParameters.from_model_accuracy(self.model_accuracy,
+                                                 cell_size)
+        if self.compute_heat:
+            # the reference app enables vapor+advection with heat
+            # (initializeSF3D flags, project3D.cpp:546)
+            p = _dc.replace(p, heat_vapor=True, heat_advection=True)
+        return p
 
 
 def load_project_ini(path: str) -> ProjectConfig:

@@ -57,6 +57,8 @@ class ModelConfig:
     compute_evaporation: bool = True
     compute_cracking: bool = False
     compute_interception: bool = False
+    compute_heat: bool = False
+    initial_soil_temperature: float = 288.15   # [K]
     latitude: float = 44.5
     longitude: float = 11.3
     timezone: int = 1
@@ -73,6 +75,7 @@ class Criteria3DModel:
     params: SolverParameters
     config: ModelConfig
     water: WaterState
+    heat: "object | None" = None            # solver.heat.HeatState
     snow: SnowState | None = None
     crop: crop_mod.CropParameters | None = None
     lai: jax.Array | None = None            # (R,C)
@@ -94,10 +97,19 @@ class Criteria3DModel:
         water = initialize_balance(grid, params, water)
         shape2d = grid.shape[1:]
         snow = SnowState.zero(shape2d) if config.compute_snow else None
+        heat = None
+        if config.compute_heat:
+            from criteria3d_tpu.solver import heat as H
+            heat = H.initialize_heat(grid, config.initial_soil_temperature)
+            heat = dataclasses.replace(
+                heat,
+                storage_prev=H.heat_storage(grid, params, heat, water),
+                storage_whole=H.heat_storage(grid, params, heat, water))
         if crop is None and config.compute_crop:
             crop = crop_mod.CropParameters()
         return Criteria3DModel(
-            grid=grid, params=params, config=config, water=water, snow=snow,
+            grid=grid, params=params, config=config, water=water, heat=heat,
+            snow=snow,
             crop=crop,
             lai=jnp.full(shape2d, 2.0) if config.compute_crop else None,
             degree_days=jnp.full(shape2d, 600.0) if config.compute_crop else None,
@@ -218,9 +230,52 @@ class Criteria3DModel:
                 jnp.where(valid, tr_mm, 0.0)))
             out["transpiration"] = tr_mm
 
+        # ---- heat boundary + HeatSurface evaporative water flux
+        # (computeStep heat interleaving, soilFluxes3D.cpp:1800-1818;
+        # HeatSurface water BC, water.cpp:708-747)
+        boundary = None
+        if cfg.compute_heat and self.heat is not None:
+            from criteria3d_tpu.solver import heat as H
+            t_air_k = jnp.asarray(forcing.air_temperature) + ZEROCELSIUS
+            # net irradiance: absorbed shortwave + incoming longwave
+            # (Brutsaert clear-sky emissivity) - surface emission
+            from criteria3d_tpu.constants import STEFAN_BOLTZMANN
+            es = meteo_mod.saturation_vapor_pressure(forcing.air_temperature)
+            ea = es * jnp.asarray(forcing.rel_humidity) / 100.0
+            eps_atm = meteo_mod.atmospheric_emissivity_brutsaert(ea, t_air_k)
+            t_surf = self.heat.t[1]
+            net_irr = (1.0 - cfg.albedo) * rad.global_irr \
+                + eps_atm * STEFAN_BOLTZMANN * t_air_k ** 4 \
+                - 0.97 * STEFAN_BOLTZMANN * t_surf ** 4
+            boundary = H.HeatBoundary(
+                mask=grid.mask[0], air_temperature=t_air_k,
+                rel_humidity=jnp.asarray(forcing.rel_humidity),
+                wind_speed=jnp.maximum(jnp.asarray(forcing.wind_speed), 0.01),
+                net_irradiance=net_irr,
+                height_wind=jnp.full_like(t_air_k, 10.0),
+                height_temperature=jnp.full_like(t_air_k, 2.0),
+                roughness_height=jnp.full_like(t_air_k, 0.01))
+            if params.heat_vapor:
+                # evaluated once per hour at the hour-start state (the
+                # reference re-evaluates per Picard iteration;
+                # docs/DEVIATIONS.md item 16)
+                evap_sink = H.heat_surface_water_sink(
+                    grid, params, self.heat, boundary, self.water,
+                    HOUR_SECONDS)
+                sink = sink + evap_sink
+                out["heat_surface_evaporation_m3s"] = float(
+                    jnp.sum(evap_sink))
+
         # ---- water fluxes (runWaterFluxes3DModel, project3D.cpp:1304-1386)
         self.water = dataclasses.replace(self.water, sink_source=sink)
-        self.water = compute_period(grid, params, self.water, HOUR_SECONDS)
+        if boundary is not None:
+            from criteria3d_tpu.solver.coupled import compute_period_coupled
+            self.water, self.heat = compute_period_coupled(
+                grid, params, self.water, self.heat, boundary, HOUR_SECONDS)
+            out["soil_temperature"] = self.heat.t
+        else:
+            self.water = compute_period(grid, params, self.water,
+                                        HOUR_SECONDS)
 
         out["mbr"] = float(self.water.balance_whole.mbr)
         out["courant"] = float(self.water.courant)

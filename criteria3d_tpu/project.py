@@ -292,7 +292,8 @@ class Criteria3DProject:
             latitude=cfg.latitude, longitude=cfg.longitude,
             timezone=cfg.time_zone if not cfg.is_utc else 0,
             clear_sky_transmissivity=cfg.clear_sky_transmissivity,
-            linke=cfg.linke, albedo=cfg.albedo)
+            linke=cfg.linke, albedo=cfg.albedo,
+            compute_heat=cfg.compute_heat)
         psi0 = cfg.initial_water_potential \
             if cfg.is_initial_water_potential else -3.0
         self.model = Criteria3DModel.create(self.grid, self.params, mconfig,

@@ -20,7 +20,7 @@ from criteria3d_tpu.core.state import SolverParameters, WaterState
 from criteria3d_tpu.solver import heat as H
 from criteria3d_tpu.solver.step import _compute_step
 
-__all__ = ["compute_step_coupled"]
+__all__ = ["compute_step_coupled", "compute_period_coupled"]
 
 
 @partial(jax.jit, static_argnames=("params", "max_substeps"))
@@ -35,8 +35,19 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
     on failure; 16 sub-steps cover dtWater down to dtWater/16 < dtMin for
     any practical configuration).
     """
+    import dataclasses as _dc
+
+    # temperature-gradient water fluxes (thermal liquid + vapor) enter the
+    # water RHS while heat is active (computeLinkFluxes, water.cpp:329-341);
+    # evaluated at the start-of-step state (the reference re-evaluates per
+    # Picard iteration — docs/DEVIATIONS.md)
+    user_sink = water.sink_source
+    thermal_flux = H.thermal_water_invariant_flux(grid, params, heat_state,
+                                                  water)
+    water = _dc.replace(water, sink_source=user_sink + thermal_flux)
     water_new, dt_water = _compute_step(
         grid, params, water, jnp.asarray(max_time_step, params.dtype))
+    water_new = _dc.replace(water_new, sink_source=user_sink)
 
     def cond(c):
         heat_s, t_done, dt_heat, it = c
@@ -50,7 +61,9 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
             grid, params, heat_s, boundary, water_new, dt_heat)
         new_heat, mbr = H.heat_step(grid, params, heat_s, boundary,
                                     water_new, dt_limited, dt_water)
-        ok = jnp.abs(mbr) <= 1.0
+        # the reference rejects only while dtHeat > 10*dtMin
+        # (cpusolver.cpp:585-596); below that the step is accepted as-is
+        ok = (jnp.abs(mbr) <= 1.0) | (dt_limited <= params.delta_t_min * 10.0)
         # on failure heat_step already restored T; halve and retry
         t_next = jnp.where(ok, t_done + dt_limited, t_done)
         dt_next = jnp.where(ok, dt_limited, jnp.maximum(
@@ -61,3 +74,59 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
         cond, body, (heat_state, jnp.zeros((), params.dtype), dt_water,
                      jnp.zeros((), jnp.int32)))
     return water_new, heat_final, dt_water
+
+
+@partial(jax.jit, static_argnames=("params", "max_substeps"))
+def compute_period_coupled(grid: Grid, params: SolverParameters,
+                           water: WaterState, heat_state: H.HeatState,
+                           boundary: H.HeatBoundary, period,
+                           max_substeps: int = 16):
+    """Advance coupled water+heat over a whole period (computePeriod with
+    computeHeat active, soilFluxes3D.cpp:1760-1821), closing the period
+    water balance exactly as :func:`criteria3d_tpu.solver.step.compute_period`
+    does (water.cpp:143-156)."""
+    import dataclasses as _dc
+
+    from criteria3d_tpu.core.state import BalanceData
+
+    period = jnp.asarray(period, params.dtype)
+
+    # reset the period sink/source counter (computePeriod,
+    # soilFluxes3D.cpp:1764)
+    bp = water.balance_period
+    water = _dc.replace(
+        water,
+        balance_period=BalanceData(bp.storage, jnp.zeros((), params.dtype),
+                                   bp.mbe, bp.mbr))
+
+    def cond(c):
+        w, h, t = c
+        return t < period
+
+    def body(c):
+        w, h, t = c
+        w2, h2, dt = compute_step_coupled(grid, params, w, h, boundary,
+                                          period - t,
+                                          max_substeps=max_substeps)
+        return w2, h2, t + dt
+
+    water, heat_state, _ = lax.while_loop(
+        cond, body, (water, heat_state, jnp.zeros((), params.dtype)))
+
+    cur, per, whole = (water.balance_current, water.balance_period,
+                       water.balance_whole)
+    whole_sink = whole.sink_source + per.sink_source
+    d_period = cur.storage - per.storage
+    d_whole = cur.storage - whole.storage
+    per_mbe = d_period - per.sink_source
+    whole_mbe = d_whole - whole_sink
+    ref = jnp.maximum(0.001, whole_sink)
+    whole_mbr = whole_mbe / ref
+
+    water = _dc.replace(
+        water,
+        balance_period=BalanceData(cur.storage, per.sink_source, per_mbe,
+                                   per.mbr),
+        balance_whole=BalanceData(whole.storage, whole_sink, whole_mbe,
+                                  whole_mbr))
+    return water, heat_state

@@ -212,8 +212,14 @@ def isothermal_vapor_conductivity(grid: Grid, params: SolverParameters, t_k, h):
 
 
 def _clay(grid: Grid):
-    # clay fraction is not yet a SoilFields member; default silty-loam value
-    return jnp.full_like(grid.soil.theta_s, 0.2)
+    """Clay value fed to the Campbell return-flow and vapor-enhancement
+    formulas. REFERENCE QUIRK reproduced deliberately: the app passes the
+    clay content as PERCENT (project3D.cpp:925 ``texture.clay`` = e.g. 25)
+    into computeWaterReturnFlowFactor whose formula expects a fraction
+    (heat.cpp:1097-1110 names it clayFraction) — so the return-flow factor
+    is ~0 in normal soils and the fluid conductivity stays near the air
+    value. Matching the reference requires the percent convention."""
+    return jnp.full_like(grid.soil.theta_s, 25.0)
 
 
 def soil_thermal_conductivity(grid: Grid, params: SolverParameters, t_k, h,
@@ -297,6 +303,192 @@ def aerodynamic_conductance(boundary: HeatBoundary, surface_t_k):
         + psi_h)
 
 
+def thermal_liquid_conductivity(t_c, h_signed, k):
+    """Temperature-gradient liquid conductivity [m2 s-1 K-1]
+    (computeThermalLiquidConductivity, heat.cpp:1242-1250): Philip-de Vries
+    gain factor times the surface-tension temperature sensitivity."""
+    gwt = 4.0
+    d_gamma_dt = -0.1425 - 0.000576 * t_c
+    return jnp.maximum(0.0, k * h_signed * gwt * d_gamma_dt / GAMMA0)
+
+
+def _link_sum(grid: Grid, node_field, t_field, heat_mask, mean_type):
+    """Sum over all soil-soil links of mean(field_i, field_j) *
+    (T_j - T_i) / dist * area — the shared stencil of the thermal liquid /
+    vapor / latent link fluxes."""
+    total = jnp.zeros_like(node_field)
+
+    def pair(nbr_field, nbr_t, nbr_ok, dist, area):
+        avg = compute_mean(jnp.maximum(node_field, 0.0) + 1e-30,
+                           jnp.maximum(nbr_field, 0.0) + 1e-30, mean_type)
+        return jnp.where(heat_mask & nbr_ok,
+                         avg * (nbr_t - t_field) / dist * area, 0.0)
+
+    # vertical: up neighbour (roll +1 along layers), down neighbour
+    up_ok = jnp.roll(heat_mask, 1, axis=0).at[0].set(False).at[1].set(False)
+    dist_v = jnp.where(grid.vert_dist > 0, grid.vert_dist, 1.0)
+    total = total + pair(jnp.roll(node_field, 1, axis=0),
+                         jnp.roll(t_field, 1, axis=0), up_ok, dist_v,
+                         grid.area)
+    down_ok = jnp.roll(heat_mask, -1, axis=0).at[-1].set(False)
+    dist_dn = jnp.roll(dist_v, -1, axis=0)
+    total = total + pair(jnp.roll(node_field, -1, axis=0),
+                         jnp.roll(t_field, -1, axis=0), down_ok, dist_dn,
+                         grid.area)
+    for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+        nbr_ok = shift2d(heat_mask, di, dj, fill=False)
+        total = total + pair(shift2d(node_field, di, dj),
+                             shift2d(t_field, di, dj), nbr_ok,
+                             grid.lat_dist3d[idx], grid.lat_area)
+    return total
+
+
+def thermal_water_invariant_flux(grid: Grid, params: SolverParameters,
+                                 heat: HeatState, water: WaterState):
+    """Temperature-gradient water flows [m3 s-1] added to the water RHS.
+
+    Mirrors the heat coupling inside the water assembly
+    (computeLinkFluxes, water.cpp:329-341): on every soil-soil link a
+    thermal LIQUID flux (always, when heat is computed) and a thermal VAPOR
+    flux (when heat_vapor) driven by the inter-node temperature difference.
+    The fluxes are pairwise antisymmetric, so the global water balance is
+    unaffected. Evaluated at the start-of-step state with the mean
+    temperature (getNodeMeanTemperature) — the reference re-evaluates per
+    Picard iteration (docs/DEVIATIONS.md item 16).
+    """
+    heat_mask = grid.mask.at[0].set(False)
+    t_mean = compute_mean(heat.t, heat.t_old, MeanType.ARITHMETIC)
+    h_signed = water.h - grid.z
+
+    tlk = thermal_liquid_conductivity(t_mean - ZEROCELSIUS, h_signed, water.k)
+    flux = _link_sum(grid, tlk, t_mean, heat_mask, params.mean_type)
+    if params.heat_vapor:
+        tvk = thermal_vapor_conductivity(grid, params, t_mean, h_signed)
+        flux = flux + _link_sum(grid, tvk, t_mean, heat_mask,
+                                params.mean_type) / WATER_DENSITY
+    return jnp.where(heat_mask, flux, 0.0)
+
+
+def isothermal_latent_link_flux(grid: Grid, params: SolverParameters,
+                                heat: HeatState, water: WaterState,
+                                node_h):
+    """Latent heat carried by isothermal vapor flow between nodes [W]
+    (computeIsothermalLatentHeatFlux, heat.cpp:575-601): mean isothermal
+    vapor conductivity times the matric-potential-energy difference."""
+    heat_mask = grid.mask.at[0].set(False)
+    avg_h = compute_mean(node_h, water.h_old, MeanType.ARITHMETIC) - grid.z
+    ivk = isothermal_vapor_conductivity(grid, params, heat.t, avg_h)
+    lam = latent_vaporization_heat(heat.t - ZEROCELSIUS)
+    psi_e = avg_h * GRAVITY        # [J kg-1]
+
+    total = jnp.zeros_like(ivk)
+
+    def pair(nbr_ivk, nbr_lam, nbr_psi, nbr_ok, dist, area):
+        avg_k = compute_mean(jnp.maximum(ivk, 1e-30),
+                             jnp.maximum(nbr_ivk, 1e-30), params.mean_type)
+        avg_lam = compute_mean(lam, nbr_lam, MeanType.ARITHMETIC)
+        return jnp.where(heat_mask & nbr_ok,
+                         avg_lam * avg_k * (nbr_psi - psi_e) / dist * area,
+                         0.0)
+
+    up_ok = jnp.roll(heat_mask, 1, axis=0).at[0].set(False).at[1].set(False)
+    dist_v = jnp.where(grid.vert_dist > 0, grid.vert_dist, 1.0)
+    total = total + pair(jnp.roll(ivk, 1, axis=0), jnp.roll(lam, 1, axis=0),
+                         jnp.roll(psi_e, 1, axis=0), up_ok, dist_v, grid.area)
+    down_ok = jnp.roll(heat_mask, -1, axis=0).at[-1].set(False)
+    total = total + pair(jnp.roll(ivk, -1, axis=0), jnp.roll(lam, -1, axis=0),
+                         jnp.roll(psi_e, -1, axis=0), down_ok,
+                         jnp.roll(dist_v, -1, axis=0), grid.area)
+    for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+        nbr_ok = shift2d(heat_mask, di, dj, fill=False)
+        total = total + pair(shift2d(ivk, di, dj), shift2d(lam, di, dj),
+                             shift2d(psi_e, di, dj), nbr_ok,
+                             grid.lat_dist3d[idx], grid.lat_area)
+    return total
+
+
+def boundary_vapor_concentration(boundary: HeatBoundary):
+    """Atmospheric vapor [kg m-3] at the boundary temperature/RH."""
+    sat_p = saturation_vapor_pressure(boundary.air_temperature - ZEROCELSIUS)
+    sat_c = vapor_concentration_from_pressure(sat_p, boundary.air_temperature)
+    return sat_c * boundary.rel_humidity / 100.0, sat_c
+
+
+def atmospheric_latent_vapor_flux(grid: Grid, params: SolverParameters,
+                                  heat: HeatState, boundary: HeatBoundary,
+                                  water: WaterState, aero_k=None):
+    """Soil->atmosphere vapor flux [kg m-2 s-1] on HeatSurface nodes
+    (computeNodeAtmosphericLatentVaporFlux, heat.cpp:988-1007): vapor
+    deficit times the series aerodynamic+soil-surface conductance."""
+    if aero_k is None:
+        aero_k = aerodynamic_conductance(boundary, heat.t[1])
+    boundary_vapor, _ = boundary_vapor_concentration(boundary)
+    node_vapor = vapor_from_psi_temp(water.h[1] - grid.z[1], heat.t[1])
+    theta_top = theta_from_signed_psi(grid, params, water.h - grid.z)[1]
+    soil_k = 1.0 / soil_surface_resistance(theta_top)
+    total_k = 1.0 / (1.0 / jnp.maximum(aero_k, 1e-9)
+                     + 1.0 / jnp.maximum(soil_k, 1e-9))
+    return (boundary_vapor - node_vapor) * total_k
+
+
+def atmospheric_latent_surface_water_flux(boundary: HeatBoundary, aero_k):
+    """Ponded-surface evaporation vapor flux [kg m-2 s-1]
+    (computeNodeAtmosphericLatentSurfaceWaterFlux, heat.cpp:1013-1037):
+    water surface at air temperature, aerodynamic conductance only."""
+    boundary_vapor, sat_c = boundary_vapor_concentration(boundary)
+    return (boundary_vapor - sat_c) * aero_k
+
+
+def heat_surface_water_sink(grid: Grid, params: SolverParameters,
+                            heat: HeatState, boundary: HeatBoundary,
+                            water: WaterState, dt):
+    """HeatSurface evaporative *water* flow [m3 s-1] (L,R,C).
+
+    Mirrors the water solver's HeatSurface boundary branch
+    (water.cpp:708-747): the latent vapor flux becomes a water sink split
+    between the ponded surface fraction (removed from the surface node,
+    bounded by the stored surface water) and the bare-soil fraction
+    (removed from the first soil layer, bounded by the extractable water
+    content). Requires params.heat_vapor.
+    """
+    if not params.heat_vapor:
+        return jnp.zeros(grid.shape, params.dtype)
+
+    hs_mask = boundary.mask & grid.mask[1] & grid.mask[0]
+    aero_k = aerodynamic_conductance(boundary, heat.t[1])
+    area = grid.area
+
+    soil_evap = atmospheric_latent_vapor_flux(
+        grid, params, heat, boundary, water, aero_k) / WATER_DENSITY * area
+
+    # surface water fraction (getNodeSurfaceWaterFraction,
+    # soilPhysics.cpp:317-326)
+    h_v = jnp.maximum(water.h[0] - grid.z[0], 0.0)
+    h_0 = jnp.maximum(grid.pond_max, 0.001)
+    swf = jnp.minimum(h_v / h_0, 1.0)
+
+    surf_evap = atmospheric_latent_surface_water_flux(boundary, aero_k) \
+        / WATER_DENSITY * area * swf
+    soil_evap = soil_evap * (1.0 - swf)
+    # bound surface evaporation by the stored surface water volume
+    surf_evap = jnp.maximum(surf_evap, -(h_v * area) / dt)
+
+    # bound soil evaporation by extractable/absorbable water content
+    theta = theta_from_signed_psi(grid, params, water.h - grid.z)[1]
+    theta_r = grid.soil.theta_r[1]
+    theta_s = grid.soil.theta_s[1]
+    vol1 = grid.volume[1]
+    soil_evap = jnp.where(
+        soil_evap < 0,
+        jnp.maximum(soil_evap, -(theta - theta_r) * vol1 / dt),
+        jnp.minimum(soil_evap, (theta_s - theta_r) * vol1 / dt))
+
+    sink = jnp.zeros(grid.shape, params.dtype)
+    sink = sink.at[0].set(jnp.where(hs_mask, surf_evap, 0.0))
+    sink = sink.at[1].set(jnp.where(hs_mask, soil_evap, 0.0))
+    return sink
+
+
 def update_boundary_heat(grid: Grid, params: SolverParameters,
                          heat: HeatState, boundary: HeatBoundary,
                          water: WaterState, dt_max):
@@ -304,8 +496,8 @@ def update_boundary_heat(grid: Grid, params: SolverParameters,
 
     Mirrors updateBoundaryHeatData (heat.cpp:237-341): the HeatSurface nodes
     (first soil layer under an atmosphere-exposed surface) receive
-    radiative + sensible (+ latent/advective when enabled) fluxes; returns
-    (heat_flow, dt_heat, boundary_fluxes_dict).
+    radiative + sensible + (heat_vapor) latent + (heat_advection) advective
+    fluxes; returns (heat_flow, dt_heat, boundary_fluxes_dict).
     """
     L = grid.n_layers
     flow = jnp.where(grid.mask, heat.sink_source, 0.0).at[0].set(0.0)
@@ -322,8 +514,24 @@ def update_boundary_heat(grid: Grid, params: SolverParameters,
         * delta_t * aero_k
     radiative = boundary.net_irradiance
 
+    latent = jnp.zeros_like(sensible)
+    advective = jnp.zeros_like(sensible)
+    if params.heat_vapor:
+        # latent flux [W m-2] = Lv * vapor flux (heat.cpp:966-982)
+        vapor_flux = atmospheric_latent_vapor_flux(
+            grid, params, heat, boundary, water, aero_k)
+        latent = latent_vaporization_heat(
+            boundary.air_temperature - ZEROCELSIUS) * vapor_flux
+    if params.heat_advection:
+        # advected heat of the rain reaching the surface and of the
+        # evaporative water flow (heat.cpp:273-287); the rain part uses the
+        # surface sink/source (the hourly precipitation flow assignment)
+        rain_flux = jnp.maximum(water.sink_source[0], 0.0)   # [m3 s-1]
+        advective = rain_flux * WATER_DENSITY * HEAT_CAPACITY_WATER \
+            * boundary.air_temperature / grid.area
+
     up_area = grid.area
-    flux_sum = (radiative + sensible) * up_area
+    flux_sum = (radiative + sensible + latent + advective) * up_area
     flow = flow.at[1].set(jnp.where(hs_mask, flow[1] + flux_sum, flow[1]))
 
     # heat Courant: |flux| dt / (C * V) <= 1 (heat.cpp:292-341)
@@ -406,8 +614,13 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
     node_h = _node_h_from_timesteps(water, dt_heat, dt_water)
     avg_h = 0.5 * (water.h_old + node_h) - grid.z
 
-    cap = heat_capacity(grid, params, avg_h, heat.t) * grid.volume
-    k_thermal = soil_thermal_conductivity(grid, params, heat.t, avg_h)
+    cap = heat_capacity(grid, params, avg_h, heat.t,
+                        with_vapor=params.heat_vapor) * grid.volume
+    # the reference's air thermal conductivity includes the latent vapor
+    # enhancement whenever water is computed, independent of the
+    # computeHeatVapor flag (computeNodeHeatAirConductivity, heat.cpp:756-774)
+    k_thermal = soil_thermal_conductivity(grid, params, heat.t, avg_h,
+                                          with_vapor=True)
 
     a_up, a_down, a_lat, heat_mask = _conduction_coeffs(
         grid, params, heat, avg_h, k_thermal)
@@ -415,7 +628,21 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
     # advected energy of the water-content change (cpusolver.cpp:500-518)
     d_theta = theta_from_signed_psi(grid, params, node_h - grid.z) \
         - theta_from_signed_psi(grid, params, water.h_old - grid.z)
-    heat_cap_corr = d_theta * HEAT_CAPACITY_WATER * heat.t * grid.volume
+    heat_cap_corr = d_theta * HEAT_CAPACITY_WATER * heat.t
+    if params.heat_vapor:
+        # vapor-content change: sensible (air) + latent parts
+        # (cpusolver.cpp:509-517)
+        theta_new = theta_from_signed_psi(grid, params, node_h - grid.z)
+        theta_old = theta_from_signed_psi(grid, params, water.h_old - grid.z)
+        v_new = vapor_from_psi_temp(node_h - grid.z, heat.t) / WATER_DENSITY \
+            * jnp.maximum(grid.soil.theta_s - theta_new, 0.0)
+        v_old = vapor_from_psi_temp(water.h_old - grid.z, heat.t_old) \
+            / WATER_DENSITY * jnp.maximum(grid.soil.theta_s - theta_old, 0.0)
+        d_theta_v = v_new - v_old
+        heat_cap_corr = heat_cap_corr + d_theta_v * HEAT_CAPACITY_AIR * heat.t \
+            + d_theta_v * latent_vaporization_heat(heat.t - ZEROCELSIUS) \
+            * WATER_DENSITY
+    heat_cap_corr = heat_cap_corr * grid.volume
 
     sum_a = a_up + a_down + jnp.sum(a_lat, axis=0)
     diag = sum_a * wf + cap / dt_heat
@@ -430,6 +657,11 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
     f0 = f0 * (1.0 - wf)
 
     b = cap * t0 / dt_heat - heat_cap_corr / dt_heat + heat_flow + f0
+    if params.heat_vapor:
+        # inter-node isothermal latent vapor fluxes enter the heat RHS as
+        # invariant fluxes (computeHeatLinkFluxes, heat.cpp:432-446)
+        b = b + isothermal_latent_link_flux(grid, params, heat, water,
+                                            node_h)
     b = jnp.where(heat_mask, b, 0.0)
 
     inv_diag = jnp.where(diag > 0, 1.0 / diag, 1.0)
@@ -468,15 +700,15 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
     # heat balance (evaluateHeatBalance, heat.cpp:376-394)
     storage = jnp.sum(jnp.where(
         heat_mask,
-        heat_capacity(grid, params, node_h - grid.z, t_new) * grid.volume * t_new,
-        0.0))
+        _node_heat_energy(grid, params, node_h - grid.z, t_new), 0.0))
     sink = jnp.sum(jnp.where(heat_mask, heat_flow, 0.0)) * dt_heat
     delta = storage - heat.storage_prev
     mbe = delta - sink
     ref = jnp.maximum(jnp.abs(storage) * 1e-6, jnp.abs(sink))
     mbr = mbe / jnp.maximum(ref, 1.0)
 
-    ok = jnp.abs(mbr) <= 1.0
+    # reject (restore) only while dtHeat > 10*dtMin (cpusolver.cpp:585-596)
+    ok = (jnp.abs(mbr) <= 1.0) | (dt_heat <= params.delta_t_min * 10.0)
     t_final = jnp.where(ok, t_new, heat.t_old)
     new_state = HeatState(
         t=t_final,
@@ -489,10 +721,26 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
     return new_state, mbr
 
 
+def _node_heat_energy(grid: Grid, params: SolverParameters, h_signed, t_k):
+    """Per-node heat energy [J] (getNodeHeatStorage,
+    soilFluxes3D.cpp:1545-1567): sensible capacity x T, plus the latent
+    energy of the soil air's vapor content when vapor is enabled."""
+    cap = heat_capacity(grid, params, h_signed, t_k,
+                        with_vapor=params.heat_vapor)
+    energy = cap * grid.volume * t_k
+    if params.heat_vapor:
+        theta = theta_from_signed_psi(grid, params, h_signed)
+        theta_v = vapor_from_psi_temp(h_signed, t_k) / WATER_DENSITY \
+            * jnp.maximum(grid.soil.theta_s - theta, 0.0)
+        energy = energy + theta_v * latent_vaporization_heat(
+            t_k - ZEROCELSIUS) * WATER_DENSITY * grid.volume
+    return energy
+
+
 def heat_storage(grid: Grid, params: SolverParameters, heat: HeatState,
                  water: WaterState):
     """Total heat storage [J] (computeCurrentHeatStorage, heat.cpp:344-357)."""
     heat_mask = grid.mask.at[0].set(False)
-    h_signed = water.h - grid.z
-    cap = heat_capacity(grid, params, h_signed, heat.t)
-    return jnp.sum(jnp.where(heat_mask, cap * grid.volume * heat.t, 0.0))
+    return jnp.sum(jnp.where(
+        heat_mask, _node_heat_energy(grid, params, water.h - grid.z, heat.t),
+        0.0))

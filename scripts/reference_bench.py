@@ -33,7 +33,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the environment may pin JAX to the remote TPU via sitecustomize; the
+# export is host-side numpy work, force the CPU platform (see tests/conftest)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def main():
@@ -100,8 +104,16 @@ def main():
         "ref_build": "agrolib/soilFluxes3D @ v1.3.3, g++ -O2 -fopenmp",
     }
     path = os.path.join(REPO, "BASELINE_REF.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        data = prev if "levels" in prev else {"levels": {str(prev["coarsen"]): prev}}
+    else:
+        data = {"levels": {}}
+    data.setdefault("levels", {})[str(coarsen)] = result
     with open(path, "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(data, f, indent=1)
     print(json.dumps(result))
     print(f"wrote {path}")
 

@@ -36,8 +36,15 @@ def node_index_map(grid: Grid) -> np.ndarray:
 
 
 def export_topology(path: str, grid: Grid, psi0: np.ndarray, sink: np.ndarray,
-                    params, hours: int) -> np.ndarray:
-    """Write the topology file; returns the node index map."""
+                    params, hours: int, heat: dict | None = None) -> np.ndarray:
+    """Write the topology file; returns the node index map.
+
+    ``heat`` optionally enables the reference heat process: a dict with
+    keys vapor, advection, initial_t, air_t, rel_humidity, wind,
+    net_irradiance (+ optional height_wind, height_temperature, roughness).
+    Nodes whose ``grid.btype`` is HEAT_SURFACE (8) get the atmospheric heat
+    boundary (reference setNodeBoundary* setters).
+    """
     mask = np.asarray(grid.mask)
     z = np.asarray(grid.z)
     vol = np.asarray(grid.volume)
@@ -119,4 +126,15 @@ def export_topology(path: str, grid: Grid, psi0: np.ndarray, sink: np.ndarray,
                 f"{params.max_iterations} {params.max_approximations} "
                 f"{tol_exp} {mbr_exp} {params.lateral_vertical_ratio:.17g}\n")
         f.write(f"HOURS {hours}\n")
+        if heat is not None:
+            f.write("HEAT {} {} {:.17g} {:.17g} {:.17g} {:.17g} {:.17g} "
+                    "{:.17g} {:.17g} {:.17g}\n".format(
+                        int(heat.get("vapor", 0)),
+                        int(heat.get("advection", 0)),
+                        heat["initial_t"], heat["air_t"],
+                        heat["rel_humidity"], heat["wind"],
+                        heat["net_irradiance"],
+                        heat.get("height_wind", 10.0),
+                        heat.get("height_temperature", 2.0),
+                        heat.get("roughness", 0.01)))
     return idx

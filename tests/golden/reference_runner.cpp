@@ -121,11 +121,29 @@ int main(int argc, char** argv) {
     unsigned hours;
     if (std::fscanf(f, "%63s %u", tag, &hours) != 2 || std::strcmp(tag, "HOURS"))
         die("bad HOURS header");
+
+    // optional heat section: HEAT <vapor> <advection> <initT> <airT> <RH>
+    //                             <wind> <netIrr> <hWind> <hT> <z0>
+    bool withHeat = false;
+    int heatVapor = 0, heatAdv = 0;
+    double initT = 0, airT = 0, rhAir = 0, windS = 0, netIrr = 0;
+    double hWind = 10.0, hTemp = 2.0, rough0 = 0.01;
+    if (std::fscanf(f, "%63s", tag) == 1 && std::strcmp(tag, "HEAT") == 0) {
+        if (std::fscanf(f, "%d %d %lf %lf %lf %lf %lf %lf %lf %lf",
+                        &heatVapor, &heatAdv, &initT, &airT, &rhAir, &windS,
+                        &netIrr, &hWind, &hTemp, &rough0) != 10)
+            die("bad HEAT record");
+        withHeat = true;
+    }
     std::fclose(f);
 
     // ---- build the model through the public API ----
-    check(initializeSF3D(n, nSurf, (u8_t)nLat, true, false, false),
+    check(initializeSF3D(n, nSurf, (u8_t)nLat, true, withHeat, false),
           "initializeSF3D");
+    if (withHeat)
+        check(initializeHeatFlag(heatFluxSaveMode_t::None, heatAdv != 0,
+                                 heatVapor != 0),
+              "initializeHeatFlag");
     setThreadsNumber((u8_t)nThreads);
 
     for (auto& s : soils)
@@ -164,6 +182,25 @@ int main(int argc, char** argv) {
         check(setNodeWaterSinkSource(r.idx, r.sink), "setNodeWaterSinkSource");
     }
 
+    if (withHeat) {
+        for (auto& r : nodes) {
+            if (r.isSurf) continue;
+            check(setNodeTemperature(r.idx, initT), "setNodeTemperature");
+            if (r.btype == 8) {   // HeatSurface: atmospheric boundary data
+                check(setNodeBoundaryTemperature(r.idx, airT), "setBndT");
+                check(setNodeBoundaryRelativeHumidity(r.idx, rhAir),
+                      "setBndRH");
+                check(setNodeBoundaryWindSpeed(r.idx, windS), "setBndWind");
+                check(setNodeBoundaryNetIrradiance(r.idx, netIrr),
+                      "setBndIrr");
+                check(setNodeBoundaryHeightWind(r.idx, hWind), "setBndHW");
+                check(setNodeBoundaryHeightTemperature(r.idx, hTemp),
+                      "setBndHT");
+                check(setNodeBoundaryRoughness(r.idx, rough0), "setBndZ0");
+            }
+        }
+    }
+
     check(initializeBalance(), "initializeBalance");
 
     const bool debugDt = std::getenv("REF_DEBUG_DT") != nullptr;
@@ -195,6 +232,9 @@ int main(int argc, char** argv) {
         std::fprintf(out, "HOUR %u %.17g\n", h, getWaterMBR());
         for (unsigned i = 0; i < n; ++i)
             std::fprintf(out, "%u %.17g\n", i, getNodeTotalPotential(i));
+        if (withHeat)
+            for (unsigned i = nSurf; i < n; ++i)
+                std::fprintf(out, "T %u %.17g\n", i, getNodeTemperature(i));
     }
     std::fclose(out);
     cleanSF3D();

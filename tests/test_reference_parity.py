@@ -34,7 +34,9 @@ REF_AVAILABLE = os.path.exists("/root/reference/agrolib/soilFluxes3D")
 
 
 def ensure_runner():
-    if os.path.exists(RUNNER):
+    src = os.path.join(GOLDEN_DIR, "reference_runner.cpp")
+    if os.path.exists(RUNNER) and \
+            os.path.getmtime(RUNNER) >= os.path.getmtime(src):
         return True
     if not REF_AVAILABLE:
         return False
@@ -55,6 +57,9 @@ def run_reference(topo_path, out_path):
             if parts[0] == "HOUR":
                 current = int(parts[1])
                 hours[current] = {}
+            elif parts[0] == "T":
+                hours[current].setdefault("T", {})[int(parts[1])] = \
+                    float(parts[2])
             else:
                 hours[current][int(parts[0])] = float(parts[1])
     return hours
