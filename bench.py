@@ -10,8 +10,11 @@ Implementation notes:
   the remote-TPU tunnel costs ~1 s/op and would dominate otherwise;
 * a persistent compilation cache in .jax_cache makes repeat runs skip most
   of the (remote) compile;
-* vs_baseline is the speedup vs the round-1 recorded value of this same
-  benchmark (first recording: 1.0).
+* vs_baseline is the speedup vs the MEASURED reference CPU build on the
+  SAME problem: scripts/reference_bench.py compiles the unmodified
+  agrolib/soilFluxes3D with OpenMP and times it on this benchmark
+  (BASELINE_REF.json; full resolution: 382.2 s/sim-hour at 2 threads —
+  the reference's own default thread count on this 2-core host).
 """
 
 import dataclasses
@@ -35,7 +38,21 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 RAVONE = "/root/reference/DATA/DEM/DEM_Ravone.flt"
-BASELINE_WALL_S = 47.1   # round-1 recorded wall-clock [s] per simulated hour
+
+
+def reference_wall_s(coarsen: int) -> float | None:
+    """Measured reference-CPU wall-clock [s/sim-hour] for this coarsen level
+    (BASELINE_REF.json, produced by scripts/reference_bench.py)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_REF.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        data = json.load(f)
+    levels = data.get("levels", {})
+    if str(coarsen) in levels:
+        return float(levels[str(coarsen)]["ref_wall_s_per_hour"])
+    return None
 
 
 def build_grid(coarsen=1):
@@ -64,8 +81,9 @@ def build_grid(coarsen=1):
 
 
 def main():
-    from criteria3d_tpu import SolverParameters, WaterState, compute_period
-    from criteria3d_tpu.solver.step import initialize_balance
+    from criteria3d_tpu import SolverParameters, WaterState
+    from criteria3d_tpu.solver.step import (compute_period_stats,
+                                            initialize_balance)
 
     t_start = time.time()
     coarsen = int(os.environ.get("BENCH_COARSEN", "1"))
@@ -96,28 +114,40 @@ def main():
 
     # compile the period program (cached across runs)
     t0 = time.time()
-    compiled = compute_period.lower(grid, params, state, 3600.0).compile()
+    compiled = compute_period_stats.lower(grid, params, state, 3600.0).compile()
     compile_s = time.time() - t0
 
     # measured run: one simulated hour from the initial state.
     # A device->host scalar read is the fence — on the remote-TPU platform
     # block_until_ready alone does not guarantee execution finished.
     t0 = time.time()
-    out = compiled(grid, state, 3600.0)
+    out, stats = compiled(grid, state, 3600.0)
     mbr_value = float(out.balance_whole.mbr)
-    _ = float(out.h[0, 0, 0])
+    n_steps, n_attempts, n_approx, n_sweeps = (int(s) for s in stats)
     wall_s = time.time() - t0
+
+    ref_wall = reference_wall_s(coarsen)
+    vs_baseline = round(ref_wall / wall_s, 3) if ref_wall else None
+    # effective throughput: node updates = nodes x Jacobi sweeps (each sweep
+    # touches every node once through the 11-point stencil)
+    node_updates_per_s = grid.n_nodes * n_sweeps / wall_s
 
     result = {
         "metric": "ravone_wallclock_s_per_sim_hour",
         "value": round(wall_s, 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_WALL_S / wall_s, 3),
+        "vs_baseline": vs_baseline,
+        "reference_cpu_wall_s": ref_wall,
         "n_nodes": grid.n_nodes,
         "coarsen": coarsen,
         "setup_s": round(setup_s, 1),
         "compile_s": round(compile_s, 1),
         "whole_period_mbr": mbr_value,
+        "steps_per_hour": n_steps,
+        "step_attempts_per_hour": n_attempts,
+        "approximations_per_hour": n_approx,
+        "jacobi_sweeps_per_hour": n_sweeps,
+        "node_updates_per_s": round(node_updates_per_s, 0),
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(result))

@@ -37,15 +37,26 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 def _spec_for(leaf, mesh: Mesh) -> P:
     """Shard the trailing two dims when they are divisible by the mesh;
-    replicate small / per-layer / scalar leaves."""
+    replicate scalar / per-layer broadcast leaves ((L,1,1), (8,1,1), (1,1)).
+
+    A full-size domain field whose (R, C) do NOT divide the mesh raises:
+    silently replicating the whole state would defeat the decomposition —
+    pad the DEM first (:func:`pad_to_multiple`).
+    """
     shape = getattr(leaf, "shape", ())
     if len(shape) < 2:
         return P()
     r, c = shape[-2], shape[-1]
     mr = mesh.shape["row"]
     mc = mesh.shape["col"]
+    if r == 1 and c == 1:
+        return P()      # broadcast helper field, replication is free
     if r % mr != 0 or c % mc != 0 or r < mr or c < mc:
-        return P()
+        raise ValueError(
+            f"field of shape {shape} cannot be sharded over mesh "
+            f"{dict(mesh.shape)}: trailing dims ({r}, {c}) must be "
+            f"divisible by ({mr}, {mc}). Pad the domain first "
+            "(criteria3d_tpu.parallel.sharding.pad_to_multiple).")
     lead = (None,) * (len(shape) - 2)
     return P(*lead, "row", "col")
 

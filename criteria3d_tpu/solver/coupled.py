@@ -45,7 +45,7 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
     thermal_flux = H.thermal_water_invariant_flux(grid, params, heat_state,
                                                   water)
     water = _dc.replace(water, sink_source=user_sink + thermal_flux)
-    water_new, dt_water = _compute_step(
+    water_new, dt_water, _ = _compute_step(
         grid, params, water, jnp.asarray(max_time_step, params.dtype))
     water_new = _dc.replace(water_new, sink_source=user_sink)
 

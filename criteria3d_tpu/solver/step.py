@@ -23,7 +23,8 @@ from criteria3d_tpu.core.grid import Grid
 from criteria3d_tpu.core.state import BalanceData, SolverParameters, WaterState
 from criteria3d_tpu.solver import water as W
 
-__all__ = ["compute_step", "compute_period", "initialize_balance"]
+__all__ = ["compute_step", "compute_period",
+           "compute_period_stats", "initialize_balance"]
 
 # step outcome codes (balanceResult_t, types.h:174)
 RUNNING = 0
@@ -105,7 +106,7 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
         if fast:
             x = grid.z + x.astype(params.dtype)
             x = jnp.where(grid.mask, x, 0.0)
-        return x, diverged
+        return x, diverged, jnp.asarray(max_iter, jnp.int32)
 
     use_pallas = fast and params.use_pallas
     if use_pallas:
@@ -137,14 +138,14 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
         return (x_new, it + it_inc, best, converged | div, div)
 
     best0 = jnp.ones((), x_init.dtype)
-    x, _, _, _, diverged = lax.while_loop(
+    x, n_it, _, _, diverged = lax.while_loop(
         cond, body, (x_init, jnp.zeros((), jnp.int32), best0,
                      jnp.zeros((), bool), jnp.zeros((), bool)))
 
     if fast:
         x = grid.z + x.astype(params.dtype)
         x = jnp.where(grid.mask, x, 0.0)
-    return x, diverged
+    return x, diverged, n_it
 
 
 def _cg_solve(system: W.LinearSystem, x_init: jax.Array, grid: Grid,
@@ -252,6 +253,7 @@ class _ApproxCarry(NamedTuple):
     dt_curr: jax.Array
     courant: jax.Array
     balance: tuple  # (storage, sink, mbe, mbr)
+    n_sweeps: jax.Array   # accumulated Jacobi sweeps (diagnostics)
     # physical (un-preconditioned) conductances of the last assembly, kept
     # only when params.track_link_flow (else zero-size placeholders)
     a_up: jax.Array
@@ -351,7 +353,9 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
                                   approx=approx + 1)
 
         def on_solve(carry):
-            x, diverged = _jacobi_solve(system, carry.h, grid, params, approx)
+            x, diverged, n_it = _jacobi_solve(system, carry.h, grid, params,
+                                              approx)
+            carry = carry._replace(n_sweeps=carry.n_sweeps + n_it)
             halve_on_diverge = jnp.logical_and(diverged,
                                                dt > params.delta_t_min)
 
@@ -399,6 +403,7 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
         best_h=h, best_mbr=jnp.asarray(jnp.inf, dtype),
         dt_curr=dt_curr, courant=zero,
         balance=(zero, zero, zero, zero),
+        n_sweeps=jnp.zeros((), jnp.int32),
         a_up=a_up0, a_lat=a_lat0,
     )
     return lax.while_loop(cond, body, init)
@@ -413,6 +418,7 @@ class _StepCarry(NamedTuple):
     dt_accepted: jax.Array
     done: jax.Array
     nan_flag: jax.Array
+    stats: tuple    # (n_attempts, n_approx, n_sweeps) int32 diagnostics
 
 
 def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
@@ -484,14 +490,19 @@ def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
             balance_whole=st.balance_whole,
         )
         done = accepted | fatal
+        na, nap, nsw = c.stats
+        stats = (na + 1, nap + out.approx, nsw + out.n_sweeps)
         return _StepCarry(state=new_state,
                           dt_accepted=jnp.asarray(dt, dtype),
-                          done=done, nan_flag=c.nan_flag | fatal)
+                          done=done, nan_flag=c.nan_flag | fatal,
+                          stats=stats)
 
+    z32 = jnp.zeros((), jnp.int32)
     init = _StepCarry(state=state, dt_accepted=jnp.zeros((), dtype),
-                      done=jnp.zeros((), bool), nan_flag=jnp.zeros((), bool))
+                      done=jnp.zeros((), bool), nan_flag=jnp.zeros((), bool),
+                      stats=(z32, z32, z32))
     final = lax.while_loop(lambda c: ~c.done, body, init)
-    return final.state, final.dt_accepted
+    return final.state, final.dt_accepted, final.stats
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -503,18 +514,16 @@ def compute_step(grid: Grid, params: SolverParameters, state: WaterState,
     (soilFluxes3D.cpp:1785-1821) / CPUSolver::waterMainLoop.
     """
     max_ts = jnp.asarray(max_time_step, params.dtype)
-    return _compute_step(grid, params, state, max_ts)
+    st, dt, _ = _compute_step(grid, params, state, max_ts)
+    return st, dt
 
 
 @partial(jax.jit, static_argnames=("params",))
-def compute_period(grid: Grid, params: SolverParameters, state: WaterState,
-                   period_seconds) -> WaterState:
-    """Run adaptive steps until ``period_seconds`` is covered (<= 1 hour in the
-    reference app), then close the period balance.
-
-    Reference: computePeriod (soilFluxes3D.cpp:1760-1777) +
-    updateWaterBalanceDataWholePeriod (water.cpp:143-156).
-    """
+def compute_period_stats(grid: Grid, params: SolverParameters,
+                         state: WaterState, period_seconds):
+    """Like :func:`compute_period` but also returns solver-effort
+    diagnostics ``(n_steps, n_attempts, n_approximations, n_sweeps)`` —
+    the per-hour breakdown the benchmark reports."""
     dtype = params.dtype
     period = jnp.asarray(period_seconds, dtype)
 
@@ -526,15 +535,19 @@ def compute_period(grid: Grid, params: SolverParameters, state: WaterState,
                                    bp.mbe, bp.mbr))
 
     def cond(c):
-        st, t = c
+        st, t, _ = c
         return t < period
 
     def body(c):
-        st, t = c
-        st, dt = _compute_step(grid, params, st, period - t)
-        return st, t + dt
+        st, t, acc = c
+        st, dt, stats = _compute_step(grid, params, st, period - t)
+        acc = tuple(a + s for a, s in zip(acc, (jnp.ones((), jnp.int32),)
+                                          + stats))
+        return st, t + dt, acc
 
-    state, _ = lax.while_loop(cond, body, (state, jnp.zeros((), dtype)))
+    z32 = jnp.zeros((), jnp.int32)
+    state, _, stats = lax.while_loop(
+        cond, body, (state, jnp.zeros((), dtype), (z32, z32, z32, z32)))
 
     # close the period (water.cpp:143-156)
     cur, per, whole = state.balance_current, state.balance_period, state.balance_whole
@@ -546,8 +559,22 @@ def compute_period(grid: Grid, params: SolverParameters, state: WaterState,
     ref = jnp.maximum(0.001, whole_sink)
     whole_mbr = whole_mbe / ref
 
-    return dataclasses.replace(
+    state = dataclasses.replace(
         state,
         balance_period=BalanceData(cur.storage, per.sink_source, per_mbe, per.mbr),
         balance_whole=BalanceData(whole.storage, whole_sink, whole_mbe, whole_mbr),
     )
+    return state, stats
+
+
+@partial(jax.jit, static_argnames=("params",))
+def compute_period(grid: Grid, params: SolverParameters, state: WaterState,
+                   period_seconds) -> WaterState:
+    """Run adaptive steps until ``period_seconds`` is covered (<= 1 hour in
+    the reference app), then close the period balance.
+
+    Reference: computePeriod (soilFluxes3D.cpp:1760-1777) +
+    updateWaterBalanceDataWholePeriod (water.cpp:143-156).
+    """
+    state, _ = compute_period_stats(grid, params, state, period_seconds)
+    return state
