@@ -1,20 +1,30 @@
 """Console shell / batch interface.
 
 The TPU analogue of the reference's console shell and batch mode
-(agrolib/project/shell.h, Crit3DProject::criteria3DShell / criteria3DBatch /
-executeCriteria3DCommand, bin/CRITERIA3D/criteria3DProject.cpp:3518-3713).
+(agrolib/project/shell.h:20-31, Crit3DProject::criteria3DShell /
+criteria3DBatch / executeCriteria3DCommand,
+bin/CRITERIA3D/criteria3DProject.cpp:3518-3713).
 
-Commands (case-insensitive, a subset growing toward the reference's set):
+Commands (case-insensitive; shared + CRITERIA3D sets):
 
-    PROJ <path.ini>          load a project ini
-    DEM <path.flt>           load a DEM directly
-    INITIALIZE               build the 3-D grid + initial state
-    RUN <hours> [rain_mmh]   run N hours of the model cycle
-    STATE SAVE <dir>         checkpoint the model state
-    STATE LOAD <dir>         restore a checkpoint
-    INFO                     grid/state summary
-    VERSION                  print version
-    QUIT / EXIT              leave the shell
+    PROJ <path.ini> [meteo_db]   load a full project (DEM, soil map/DB,
+                                 land use, meteo points, output points)
+    DEM <path.flt>               load a DEM directly (cmdLoadDEM)
+    POINT <db>                   load/list a meteo points DB (cmdOpenDbPoint)
+    GRID <xml>                   load a meteo grid (cmdLoadMeteoGrid)
+    LOG <file>                   tee output to a log file (cmdSetLogFile)
+    INITIALIZE                   build the 3-D grid + initial state
+    RUN <hours> [YYYY-MM-DDTHH | rain_mmh]
+                                 run the model; with a loaded meteo DB the
+                                 weather is interpolated from the stations,
+                                 else uniform synthetic forcing
+    DAILYCSV <point_id> <out.csv>    export a station's daily series
+    HOURLYCSV <point_id> <out.csv>   export a station's hourly series
+    STATE SAVE <dir> | STATE LOAD <dir>
+    INFO                         grid/state summary
+    LS                           list project .ini files under cwd
+    VERSION                      print version
+    QUIT / EXIT                  leave the shell
 
 Batch mode: ``python -m criteria3d_tpu.cli script.txt`` executes one command
 per line ('#' comments), like the reference's batch files.
@@ -22,6 +32,8 @@ per line ('#' comments), like the reference's batch files.
 
 from __future__ import annotations
 
+import datetime
+import os
 import shlex
 import sys
 
@@ -36,11 +48,21 @@ PROMPT = "criteria3d-tpu> "
 class Shell:
     def __init__(self):
         self.config = None
+        self.project = None       # Criteria3DProject when PROJ loaded
         self.grid = None
         self.params = None
         self.model = None
         self.dem = None
         self.cell_size = None
+        self.stations = []
+        self.meteo_grid = None
+        self._log_file = None
+
+    def _print(self, msg: str):
+        print(msg)
+        if self._log_file:
+            with open(self._log_file, "a") as f:
+                f.write(msg + "\n")
 
     # ------------------------------------------------------------------
     def execute(self, line: str) -> bool:
@@ -54,51 +76,119 @@ class Shell:
             if cmd in ("QUIT", "EXIT"):
                 return False
             elif cmd == "VERSION":
-                print(f"criteria3d_tpu {criteria3d_tpu.__version__}")
+                self._print(f"criteria3d_tpu {criteria3d_tpu.__version__}")
             elif cmd == "PROJ":
                 self._cmd_proj(args)
             elif cmd == "DEM":
                 self._cmd_dem(args)
+            elif cmd == "POINT":
+                self._cmd_point(args)
+            elif cmd == "GRID":
+                self._cmd_grid(args)
+            elif cmd == "LOG":
+                self._cmd_log(args)
             elif cmd in ("INITIALIZE", "INIT"):
                 self._cmd_initialize()
             elif cmd == "RUN":
                 self._cmd_run(args)
+            elif cmd in ("DAILYCSV", "HOURLYCSV"):
+                self._cmd_export_csv(cmd, args)
             elif cmd == "STATE":
                 self._cmd_state(args)
             elif cmd == "INFO":
                 self._cmd_info()
+            elif cmd == "LS":
+                self._cmd_ls()
+            elif cmd == "?":
+                self._print(__doc__.split("Commands", 1)[1])
             else:
-                print(f"Invalid command: {cmd}")
+                self._print(f"Invalid command: {cmd}")
         except Exception as exc:  # shell robustness, like the reference's
-            print(f"ERROR: {exc}")
+            self._print(f"ERROR: {exc}")
         return True
 
     # ------------------------------------------------------------------
     def _cmd_proj(self, args):
-        from criteria3d_tpu.io.config import load_project_ini
+        from criteria3d_tpu.project import Criteria3DProject
         if not args:
-            print("Usage: PROJ <project.ini>")
+            self._print("Usage: PROJ <project.ini> [meteo_db]")
             return
-        self.config = load_project_ini(args[0])
-        print(f"Project: {self.config.name}  lat={self.config.latitude}")
-        if self.config.dem_path:
-            self._cmd_dem([self.config.dem_path])
+        meteo_db = args[1] if len(args) > 1 else None
+        out_dir = os.path.join(os.getcwd(), "OUTPUT")
+        self.project = Criteria3DProject.load(args[0],
+                                              meteo_db_path=meteo_db,
+                                              output_dir=out_dir)
+        self.config = self.project.config
+        self.dem = np.where(
+            np.isclose(self.project.dem, self.project.header.nodata),
+            NODATA, self.project.dem)
+        self.cell_size = self.project.header.cellsize
+        self.stations = self.project.stations
+        valid = (~np.isclose(self.dem, NODATA)).sum()
+        self._print(f"Project: {self.config.name}  DEM {self.dem.shape} "
+                    f"({valid} cells)  soils={len(self.project.soils)}  "
+                    f"stations={len(self.stations)}")
+        for w in getattr(self.project, "warnings", []):
+            self._print(f"  warning: {w}")
 
     def _cmd_dem(self, args):
-        from criteria3d_tpu.io.esri import read_flt
+        from criteria3d_tpu.io.esri import read_raster
         if not args:
-            print("Usage: DEM <path.flt>")
+            self._print("Usage: DEM <path.flt>")
             return
-        self.dem, hdr = read_flt(args[0])
+        self.dem, hdr = read_raster(args[0])
         self.cell_size = hdr.cellsize
+        self.project = None
         valid = (~np.isclose(self.dem, hdr.nodata)).sum()
-        print(f"DEM: {self.dem.shape}, cell {hdr.cellsize} m, {valid} valid cells")
+        self._print(f"DEM: {self.dem.shape}, cell {hdr.cellsize} m, "
+                    f"{valid} valid cells")
+
+    def _cmd_point(self, args):
+        from criteria3d_tpu.io.meteopoints import MeteoPointsDB
+        if not args:
+            self._print("Usage: POINT <meteo_points.db>")
+            return
+        with MeteoPointsDB(args[0]) as db:
+            self.stations = db.read_stations(load_hourly=True)
+        for st in self.stations:
+            span = st.hourly_span
+            span_s = (f"{span[0]:%Y-%m-%d}..{span[1]:%Y-%m-%d}"
+                      if span else "no hourly data")
+            self._print(f"  {st.id}: lat={st.latitude:.4f} "
+                        f"alt={st.altitude:.0f} m  {span_s}")
+        if self.project is not None:
+            self.project.stations = self.stations
+
+    def _cmd_grid(self, args):
+        from criteria3d_tpu.io.meteogrid import parse_grid_xml
+        if not args:
+            self._print("Usage: GRID <grid.xml>")
+            return
+        self.meteo_grid = parse_grid_xml(args[0])
+        g = self.meteo_grid
+        self._print(f"Meteo grid: {g.nr_rows}x{g.nr_cols} cells")
+
+    def _cmd_log(self, args):
+        if not args:
+            self._print("Usage: LOG <file>")
+            return
+        os.makedirs(os.path.dirname(os.path.abspath(args[0])), exist_ok=True)
+        self._log_file = args[0]
+        self._print(f"Logging to {args[0]}")
 
     def _cmd_initialize(self):
+        if self.project is not None:
+            self.project.initialize()
+            self.grid = self.project.grid
+            self.params = self.project.params
+            self.model = self.project.model
+            self._print(f"3D model initialized: {self.grid.n_layers} layers, "
+                        f"{self.grid.n_nodes} nodes")
+            return
         from criteria3d_tpu import Grid, SoilFields, SolverParameters
         from criteria3d_tpu.model import Criteria3DModel, ModelConfig
         if self.dem is None:
-            print("Load a DEM first (DEM or PROJ).")
+            self._print("Load a DEM first (DEM or PROJ).")
             return
         cfg = self.config
         soil = SoilFields.uniform(self.dem.shape, vg_alpha=1.0, vg_n=1.4,
@@ -116,19 +206,36 @@ class Shell:
         self.model = Criteria3DModel.create(grid, params, mconfig,
                                             matric_potential=psi0)
         self.grid, self.params = grid, params
-        print(f"3D model initialized: {grid.n_layers} layers, "
-              f"{grid.n_nodes} nodes")
+        self._print(f"3D model initialized: {grid.n_layers} layers, "
+                    f"{grid.n_nodes} nodes")
 
     def _cmd_run(self, args):
         import jax.numpy as jnp
         from criteria3d_tpu.model import HourlyForcing
         if self.model is None:
-            print("INITIALIZE first.")
+            self._print("INITIALIZE first.")
             return
         if not args:
-            print("Usage: RUN <hours> [rain_mm_h]")
+            self._print("Usage: RUN <hours> [YYYY-MM-DDTHH | rain_mm_h]")
             return
         hours = int(args[0])
+
+        # project + stations: the real interpolated cycle with outputs
+        if self.project is not None and self.project.stations and \
+                any(st.hourly for st in self.project.stations):
+            if len(args) > 1:
+                start = datetime.datetime.fromisoformat(args[1])
+            else:
+                span = next(st.hourly_span for st in self.project.stations
+                            if st.hourly_span)
+                start = span[0]
+            log = self.project.run_period(start, hours)
+            for entry in log:
+                self._print(f"{entry['time']}: MBR={entry['mbr']:.2e}")
+            self._print(f"outputs in {self.project.output_dir}")
+            return
+
+        # DEM-only fallback: uniform synthetic forcing
         rain = float(args[1]) if len(args) > 1 else 0.0
         shape = self.grid.shape[1:]
         f = lambda v: jnp.full(shape, v, jnp.float64)
@@ -137,23 +244,58 @@ class Shell:
                                     precipitation=f(rain),
                                     rel_humidity=f(70.0), wind_speed=f(2.0))
             out = self.model.run_hour(forcing, 2023, 6, 15, h % 24)
-            print(f"hour {h}: MBR={out['mbr']:.2e} "
-                  f"courant={out['courant']:.2f}")
+            self._print(f"hour {h}: MBR={out['mbr']:.2e} "
+                        f"courant={out['courant']:.2f}")
+
+    def _cmd_export_csv(self, cmd, args):
+        """cmdExportDailyDataCsv / cmdExportHourlyDataCsv analogues."""
+        import csv
+        if len(args) < 2:
+            self._print(f"Usage: {cmd} <point_id> <out.csv>")
+            return
+        pid, path = args[0], args[1]
+        st = next((s for s in self.stations if s.id == pid), None)
+        if st is None:
+            self._print(f"Unknown point: {pid} "
+                        f"(loaded: {[s.id for s in self.stations]})")
+            return
+        daily = cmd == "DAILYCSV"
+        block = st.daily if daily else st.hourly
+        t0 = st.daily_d0 if daily else st.hourly_t0
+        if not block or t0 is None:
+            self._print("No data loaded for this point.")
+            return
+        variables = sorted(block, key=lambda v: v.name)
+        n = max(len(v) for v in block.values())
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["time"] + [v.name for v in variables])
+            for i in range(n):
+                when = t0 + (datetime.timedelta(days=i) if daily
+                             else datetime.timedelta(hours=i))
+                row = [when.isoformat()]
+                for v in variables:
+                    series = block[v]
+                    val = series[i] if i < len(series) else NODATA
+                    row.append("" if val == NODATA else f"{val:g}")
+                w.writerow(row)
+        self._print(f"wrote {n} rows to {path}")
 
     def _cmd_state(self, args):
         from criteria3d_tpu.io.state_io import load_state, save_state
         if len(args) < 2:
-            print("Usage: STATE SAVE|LOAD <dir>")
+            self._print("Usage: STATE SAVE|LOAD <dir>")
             return
         op, path = args[0].upper(), args[1]
         if self.model is None:
-            print("INITIALIZE first.")
+            self._print("INITIALIZE first.")
             return
         if op == "SAVE":
             save_state(path, self.grid, self.model.water,
                        snow=self.model.snow, degree_days=self.model.degree_days,
                        lai=self.model.lai)
-            print(f"State saved to {path}")
+            self._print(f"State saved to {path}")
         elif op == "LOAD":
             water, snow, extras = load_state(path, self.grid, self.params)
             self.model.water = water
@@ -163,22 +305,30 @@ class Shell:
                 self.model.degree_days = extras["degreeDays"]
             if "lai" in extras:
                 self.model.lai = extras["lai"]
-            print(f"State loaded from {path}")
+            self._print(f"State loaded from {path}")
 
     def _cmd_info(self):
         if self.grid is None:
-            print("No model loaded.")
+            self._print("No model loaded.")
             return
         from criteria3d_tpu.solver import water as W
         g = self.grid
-        print(f"grid: {g.shape} ({g.n_nodes} nodes, "
-              f"{g.n_surface_nodes} surface)")
+        self._print(f"grid: {g.shape} ({g.n_nodes} nodes, "
+                    f"{g.n_surface_nodes} surface)")
         if self.model is not None:
             twc = float(W.total_water_content(g, self.params,
                                               self.model.water.h,
                                               self.model.water.se))
-            print(f"total water content: {twc:.2f} m3")
-            print(f"dt_curr: {float(self.model.water.dt_curr):.0f} s")
+            self._print(f"total water content: {twc:.2f} m3")
+            self._print(f"dt_curr: {float(self.model.water.dt_curr):.0f} s")
+
+    def _cmd_ls(self):
+        """List project ini files below the working directory (cmdList/LS)."""
+        for root, dirs, files in os.walk(os.getcwd()):
+            dirs[:] = [d for d in dirs if not d.startswith(".")][:50]
+            for f in files:
+                if f.endswith(".ini"):
+                    self._print(os.path.relpath(os.path.join(root, f)))
 
 
 def main(argv=None):
