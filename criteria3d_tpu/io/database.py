@@ -411,3 +411,91 @@ def read_meteo_points_db(path: str) -> list[MeteoPoint]:
                            for c, v in arr.items()}
     db.close()
     return points
+
+
+# ----------------------------------------------------------------------
+# VINE3D fields DB (bin/VINE3D/vine3DProject.cpp:271-644)
+# ----------------------------------------------------------------------
+
+def read_fields_db(path: str) -> dict:
+    """Read a VINE3D fields database (VINE3D_test/DATA/fields.db schema):
+    ``cultivar``, ``training_system``, ``fields`` and ``field_book`` tables
+    (loadTrainingSystems / loadFieldsProperties / loadFieldBook,
+    vine3DProject.cpp:271-644).
+
+    Returns dict(cultivars=..., training_systems=..., fields=...,
+    field_book=[FieldBookEntry-like dicts]).
+    """
+    import datetime as _dt
+
+    from criteria3d_tpu.physics.grapevine import TrainingSystem
+
+    db = _ro(path)
+    cur = db.cursor()
+
+    cultivars = {}
+    for row in cur.execute(
+            "SELECT id_cultivar, name, phenovitis_critical_chilling, "
+            "phenovitis_force_veraison, phenovitis_force_physiological_maturity, "
+            "degree_days_veraison, hydrall_stress_threshold, "
+            "miglietta_fruit_biomass_offset, miglietta_fruit_biomass_slope "
+            "FROM cultivar"):
+        cultivars[int(row[0])] = dict(
+            id=int(row[0]), name=row[1],
+            critical_chilling=row[2], critical_force_veraison=row[3],
+            critical_force_maturity=row[4], degree_days_veraison=row[5],
+            water_stress_threshold=row[6],
+            fruit_biomass_offset=row[7], fruit_biomass_slope=row[8])
+
+    training = {}
+    for row in cur.execute(
+            "SELECT id_training_system, name, nr_shoots_plant, row_width, "
+            "row_height, row_distance, plant_distance FROM training_system"):
+        training[int(row[0])] = TrainingSystem(
+            id=int(row[0]), name=row[1] or "", shoots_per_plant=row[2],
+            row_width=row[3], row_height=row[4], row_distance=row[5],
+            plant_distance=row[6])
+
+    fields = {}
+    for row in cur.execute(
+            "SELECT id_field, id_cultivar, id_training_system, "
+            "irrigation_max_rate, max_lai_grass, landuse FROM fields"):
+        fields[int(row[0])] = dict(
+            id=int(row[0]), id_cultivar=int(row[1]),
+            id_training_system=int(row[2]),
+            max_irrigation_rate=float(row[3] or 0.0),
+            max_lai_grass=float(row[4] or 1.0),
+            landuse=str(row[5] or "UNDEFINED"))
+
+    field_book = []
+    try:
+        for row in cur.execute(
+                "SELECT id_field, date_, irrigation_hours, pinchout, "
+                "leaf_removal, harvesting_performed, cluster_thinning, "
+                "thinning_percentage FROM field_book ORDER BY date_"):
+            date = _dt.datetime.fromisoformat(str(row[1])[:19]).date()
+            if row[2]:
+                field_book.append(dict(date=date, field=int(row[0]),
+                                       operation="irrigation",
+                                       quantity=float(row[2])))
+            if row[3]:
+                field_book.append(dict(date=date, field=int(row[0]),
+                                       operation="trimming",
+                                       quantity=float(row[3])))
+            if row[4]:
+                field_book.append(dict(date=date, field=int(row[0]),
+                                       operation="leafRemoval",
+                                       quantity=float(row[4])))
+            if row[6]:
+                field_book.append(dict(date=date, field=int(row[0]),
+                                       operation="clusterThinning",
+                                       quantity=float(row[7] or 0.0)))
+            if row[5]:
+                field_book.append(dict(date=date, field=int(row[0]),
+                                       operation="harvesting", quantity=0.0))
+    except sqlite3.OperationalError:
+        pass
+
+    db.close()
+    return dict(cultivars=cultivars, training_systems=training,
+                fields=fields, field_book=field_book)

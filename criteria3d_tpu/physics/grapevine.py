@@ -28,6 +28,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["GrapevineParameters", "GrapevineState", "phenology_daily_step",
            "lai_vine_daily", "fruit_biomass_step", "tartaric_acid",
@@ -239,3 +240,114 @@ def tartaric_acid(state: GrapevineState):
     vol = gompertz_berry_volume(
         jnp.maximum(state.stage - Stage.VERAISON, 0.0) + 0.2)
     return jnp.where(past, 1.0 / vol, jnp.nan)
+
+
+# ----------------------------------------------------------------------
+# training systems + root density profiles (grapevine.h:183-210,
+# grapevine.cpp:1192-1280, 1656-1690)
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TrainingSystem:
+    """TtrainingSystem (grapevine.h:183-190) — the fields.db
+    ``training_system`` table (VINE3D_test/DATA/fields.db schema)."""
+
+    id: int = 0
+    name: str = "default"
+    shoots_per_plant: float = 8.0
+    row_width: float = 0.4
+    row_height: float = 1.5
+    row_distance: float = 3.0
+    plant_distance: float = 1.0
+
+    @property
+    def plant_density(self) -> float:
+        """plants per m2 (readFieldQuery, vine3DProject.cpp:629)."""
+        return 1.0 / (self.row_distance * self.plant_distance)
+
+    @property
+    def shaded_surface(self) -> float:
+        """canopy-shaded ground fraction (row footprint / row spacing)."""
+        return self.row_width / self.row_distance
+
+
+def vine_root_density(n_layers: int, n_layers_with_root: int,
+                      n_upper_layers_without_root: int = 1,
+                      shape_factor: float = 2.0) -> np.ndarray:
+    """Cardioid ("lunette") vine root density profile, normalised to 1.
+
+    Exactly reproduces Vine3D_Grapevine::setRootDensity's
+    CARDIOID_DISTRIBUTION branch (grapevine.cpp:1192-1242): half-moon areas
+    of the unit cardioid per layer, deformed by an exponential with the
+    shape factor, folded symmetric halves.
+    """
+    nr = n_layers_with_root
+    lunette = np.zeros(nr)
+    for i in range(nr):
+        sin_a = 1.0 - (1 + i) / nr
+        cos_a = max(np.sqrt(1.0 - sin_a ** 2), 1e-4)
+        alfa = np.arctan2(sin_a, cos_a)
+        lunette[i] = ((np.pi / 2) - alfa - sin_a * cos_a) / np.pi
+    density = np.zeros(2 * nr)
+    density[0] = density[2 * nr - 1] = lunette[0]
+    for i in range(1, nr):
+        density[i] = density[2 * nr - i - 1] = lunette[i] - lunette[i - 1]
+
+    li_min = -np.log(0.2) / nr
+    li_max = -np.log(0.05) / nr
+    k = li_min + (li_max - li_min) * (shape_factor - 1.0)
+    density *= np.exp(-k * (np.arange(2 * nr) + 0.5))
+    density /= density.sum()
+
+    roots = np.zeros(n_layers)
+    for i in range(nr):
+        li = n_upper_layers_without_root + i
+        if li < n_layers:
+            roots[li] = density[2 * i] + density[2 * i + 1]
+    return roots
+
+
+def trapezoid_root_density(layer_depth, layer_thickness,
+                           start_root_depth: float, total_root_depth: float,
+                           coarse_fragments=0.0) -> np.ndarray:
+    """Grass/fallow trapezoidal root profile, normalised to 1
+    (getTrapezoidRoots, grapevine.cpp:1656-1690): linear decrease to zero at
+    ``total_root_depth``, integrated per layer, skeleton-corrected."""
+    depth = np.asarray(layer_depth, dtype=float)
+    thick = np.asarray(layer_thickness, dtype=float)
+    coarse = np.broadcast_to(np.asarray(coarse_fragments, float), depth.shape)
+    upper = depth - thick * 0.5
+    lower = depth + thick * 0.5
+    m = -2.0 / total_root_depth ** 2
+    q = 2.0 / total_root_depth
+    x1 = np.maximum(start_root_depth, upper)
+    x2 = np.minimum(total_root_depth, lower)
+    y = (m * x1 + q) + (m * x2 + q)
+    roots = np.where((upper > total_root_depth) | (lower < start_root_depth),
+                     0.0, y * np.abs(x2 - x1) * 0.5 * (1.0 - coarse))
+    s = roots.sum()
+    return roots / s if s > 0 else roots
+
+
+def layer_uptake_fractions(root_density, saw_stress):
+    """Per-layer share of the vine transpiration demand: root density times
+    the saw-tooth water-stress coefficient, renormalised.
+
+    The reference runs the Wang-Leuning stomatal model per layer with
+    alphaLeuning x stressCoefficientProfile[i] (grapevine.cpp:960-990) and
+    sums transpirationInstantLayer; distributing the canopy demand by
+    density x stress is the same first-order weighting without L duplicate
+    kernel evaluations.
+    """
+    w = jnp.asarray(root_density) * jnp.asarray(saw_stress)
+    s = jnp.sum(w, axis=0, keepdims=True)
+    return jnp.where(s > 0, w / jnp.maximum(s, 1e-12), 0.0)
+
+
+def saw_stress(fraction_transpirable, threshold: float = 0.4):
+    """Saw-tooth water-stress coefficient per layer
+    (getWaterStressSawFunction, grapevine.cpp:1548-1554): 1 above the
+    cultivar threshold of the fraction of transpirable soil water, linear
+    below."""
+    ftsw = jnp.asarray(fraction_transpirable)
+    return jnp.where(ftsw > threshold, 1.0, ftsw / threshold)

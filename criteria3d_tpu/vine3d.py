@@ -103,6 +103,10 @@ class Vine3DModel:
     powdery: PowderyMildewState
     max_irrigation_rate: float = 2.0         # [mm h-1]
     grass_lai: float = 1.0
+    training: gv.TrainingSystem | None = None
+    vine_root_density: jax.Array | None = None    # (L,) cardioid profile
+    grass_root_density: jax.Array | None = None   # (L,) trapezoid profile
+    water_stress_threshold: float = 0.4      # cultivar FTSW saw threshold
     harvested: jax.Array | None = None       # (R,C) bool
     stress: jax.Array | None = None          # (R,C) last stress coefficient
     # daily accumulators (reset by daily_update)
@@ -122,7 +126,8 @@ class Vine3DModel:
                *, matric_potential=-2.0,
                vine_params: gv.GrapevineParameters | None = None,
                field_map: np.ndarray | None = None,
-               field_book: list | None = None) -> "Vine3DModel":
+               field_book: list | None = None,
+               training: gv.TrainingSystem | None = None) -> "Vine3DModel":
         shape2d = grid.shape[1:]
         water = WaterState.initialize(grid, params,
                                       matric_potential=matric_potential)
@@ -134,11 +139,34 @@ class Vine3DModel:
             root_depth_max=1.5, kc_max=1.1, f_raw=0.4)
         grass_crop = crop_mod.CropParameters(
             root_depth_max=0.3, kc_max=0.8, f_raw=0.5)
+
+        # per-layer root profiles (setRootDensity CARDIOID /
+        # setGrassRootDensity trapezoid, grapevine.cpp:1192-1290,1677-1690)
+        L = grid.n_layers
+        n_root = max(L - 2, 1)         # all soil layers below the first
+        vine_roots = gv.vine_root_density(L, n_root,
+                                          n_upper_layers_without_root=1)
+        grass_roots = gv.trapezoid_root_density(
+            np.asarray(grid.layer_depth), np.asarray(grid.layer_thickness),
+            0.02, min(0.3, float(grid.layer_depth[-1])))
+
+        vp = vine_params or gv.GrapevineParameters()
+        if training is not None:
+            # geometry from the training system (readFieldQuery,
+            # vine3DProject.cpp:625-633)
+            vp = dataclasses.replace(
+                vp, shoots_per_plant=training.shoots_per_plant,
+                plant_density=training.plant_density * 10000.0,
+                shaded_surface=training.shaded_surface)
+
         return Vine3DModel(
             grid=grid, params=params, config=config, water=water,
-            vine_params=vine_params or gv.GrapevineParameters(),
+            vine_params=vp,
             vine=gv.GrapevineState.initialize(shape2d),
             vine_crop=vine_crop, grass_crop=grass_crop,
+            training=training,
+            vine_root_density=jnp.asarray(vine_roots),
+            grass_root_density=jnp.asarray(grass_roots),
             field_map=field_map, field_book=list(field_book or []),
             downy=DownyMildewState.initialize(shape2d),
             powdery=PowderyMildewState.initialize(shape2d),
@@ -257,6 +285,22 @@ class Vine3DModel:
                     lai=lai)
 
     # ------------------------------------------------------------------
+    def _layer_uptake(self, demand_mm, root_density, saw, theta, theta_wp):
+        """(sink [m3 s-1] (L,R,C), actual [mm] (R,C)): distribute the canopy
+        transpiration demand over layers by root density x saw stress,
+        bounded by the extractable water per layer."""
+        grid = self.grid
+        frac = gv.layer_uptake_fractions(root_density[:, None, None], saw)
+        layer_t = demand_mm[None] * frac                       # [mm]
+        # bound: water above wilting point in the layer, per hour
+        thick = jnp.asarray(grid.layer_thickness)[:, None, None]
+        avail_mm = jnp.maximum(theta - theta_wp, 0.0) * thick * 1000.0
+        layer_t = jnp.minimum(layer_t, avail_mm)
+        layer_t = jnp.where(grid.mask, layer_t, 0.0).at[0].set(0.0)
+        sink = -grid.area * (layer_t / 1000.0) / HOUR_SECONDS
+        return sink, jnp.sum(layer_t, axis=0)
+
+    # ------------------------------------------------------------------
     def run_hour(self, forcing: HourlyForcing, year: int, month: int,
                  day: int, hour: int) -> dict:
         """One hour of the vineyard cycle (modelDailyCycle body)."""
@@ -305,26 +349,36 @@ class Vine3DModel:
         se = W.compute_se(grid, params, self.water.h)
         theta = jnp.where(grid.mask, theta_from_se(grid.soil, se), 0.0)
 
-        vine_dd = jnp.full(dem2d.shape, 1200.0)   # mature vines: full roots
-        # vine sink = min(stomatal Farquhar demand, water-limited uptake) —
-        # the reference couples grapevine transpiration into the sink
-        # (grapevine.cpp getTranspirationLayer via modelDailyCycle)
-        sink_v, act_v = crop_mod.transpiration_sink(
-            grid, params, self.vine_crop, theta, et0, fluxes["lai"], vine_dd,
-            demand_mm=fluxes["transpiration_mm"])
-        # inter-row grass: shallow roots, ET0-driven, always mature cover
-        grass_dd = jnp.full(dem2d.shape,
-                            self.grass_crop.degree_days_root_growth)
-        sink_g, act_g = crop_mod.transpiration_sink(
-            grid, params, self.grass_crop, theta, et0,
-            jnp.full(dem2d.shape, self.grass_lai), grass_dd)
+        # --- per-layer root uptake (transpirationLayer, grapevine.cpp:
+        # 1040-1074): demand distributed by root density x saw-tooth layer
+        # stress on the fraction of transpirable soil water
+        theta_sat, theta_fc, theta_wp, _ = crop_mod.water_content_thresholds(
+            grid, params)
+        ftsw = jnp.clip((theta - theta_wp)
+                        / jnp.maximum(theta_fc - theta_wp, 1e-9), 0.0, 1.0)
+        saw = gv.saw_stress(ftsw, self.water_stress_threshold)
+        saw = jnp.where(grid.mask, saw, 0.0)
+
+        # vine: min(stomatal Farquhar demand, ET0-based potential) — the
+        # reference couples the grapevine transpiration into the sink
+        pot_vine = crop_mod.potential_transpiration(
+            et0, fluxes["lai"], self.vine_crop.kc_max)
+        demand_v = jnp.minimum(pot_vine, fluxes["transpiration_mm"])
+        sink_v, act_v = self._layer_uptake(
+            demand_v, self.vine_root_density, saw, theta, theta_wp)
+
+        # inter-row grass: shallow trapezoid roots, ET0-driven
+        pot_grass = crop_mod.potential_transpiration(
+            et0, jnp.full(dem2d.shape, self.grass_lai),
+            self.grass_crop.kc_max)
+        sink_g, act_g = self._layer_uptake(
+            pot_grass, self.grass_root_density, saw, theta, theta_wp)
         # stress = 1 - actual/potential (getStressCoefficient,
         # grapevine.cpp:1039-1052, on the water-limited uptake)
-        pot_v = crop_mod.potential_transpiration(
-            et0, fluxes["lai"], self.vine_crop.kc_max)
-        self.stress = jnp.where(pot_v > 1e-9,
-                                jnp.clip(1.0 - act_v / jnp.maximum(pot_v, 1e-9),
-                                         0.0, 1.0), 0.0)
+        self.stress = jnp.where(
+            pot_vine > 1e-9,
+            jnp.clip(1.0 - act_v / jnp.maximum(pot_vine, 1e-9), 0.0, 1.0),
+            0.0)
         out["vine_stress"] = self.stress
         out["vine_transpiration"] = act_v
         out["grass_transpiration"] = act_g
