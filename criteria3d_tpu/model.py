@@ -59,6 +59,8 @@ class ModelConfig:
     compute_interception: bool = False
     compute_heat: bool = False
     initial_soil_temperature: float = 288.15   # [K]
+    compute_hydrall: bool = False
+    compute_rothc: bool = False
     latitude: float = 44.5
     longitude: float = 11.3
     timezone: int = 1
@@ -76,6 +78,9 @@ class Criteria3DModel:
     config: ModelConfig
     water: WaterState
     heat: "object | None" = None            # solver.heat.HeatState
+    hydrall: "object | None" = None         # physics.hydrall.HydrallMaps
+    rothc: "object | None" = None           # physics.rothc.RothCState
+    forest_mask: jax.Array | None = None    # (R,C) forest land-use cells
     snow: SnowState | None = None
     crop: crop_mod.CropParameters | None = None
     lai: jax.Array | None = None            # (R,C)
@@ -105,11 +110,19 @@ class Criteria3DModel:
                 heat,
                 storage_prev=H.heat_storage(grid, params, heat, water),
                 storage_whole=H.heat_storage(grid, params, heat, water))
+        hydrall = None
+        if config.compute_hydrall:
+            from criteria3d_tpu.physics.hydrall import HydrallMaps
+            hydrall = HydrallMaps.initialize(shape2d)
+        rothc = None
+        if config.compute_rothc:
+            from criteria3d_tpu.physics.rothc import RothCState
+            rothc = RothCState.initialize(shape2d)
         if crop is None and config.compute_crop:
             crop = crop_mod.CropParameters()
         return Criteria3DModel(
             grid=grid, params=params, config=config, water=water, heat=heat,
-            snow=snow,
+            hydrall=hydrall, rothc=rothc, snow=snow,
             crop=crop,
             lai=jnp.full(shape2d, 2.0) if config.compute_crop else None,
             degree_days=jnp.full(shape2d, 600.0) if config.compute_crop else None,
@@ -117,14 +130,42 @@ class Criteria3DModel:
         )
 
     # ------------------------------------------------------------------
-    def daily_update(self, t_min, t_max):
-        """Daily crop update: degree days + LAI (dailyUpdateCropMaps,
-        criteria3DProject.cpp:1224)."""
-        if not self.config.compute_crop:
-            return
-        inc = crop_mod.degree_day_increase(self.crop, t_min, t_max)
-        self.degree_days = self.degree_days + inc
-        self.lai = crop_mod.lai_from_degree_days(self.crop, self.degree_days)
+    def daily_update(self, t_min, t_max, *, date=None):
+        """Daily updates: crop degree days + LAI (dailyUpdateCropMaps,
+        criteria3DProject.cpp:1224), HYDRALL running-mean temperature and
+        Jan-1 annual allocation (dailyUpdateHydrall, :634-700, 1238)."""
+        if self.config.compute_crop:
+            inc = crop_mod.degree_day_increase(self.crop, t_min, t_max)
+            self.degree_days = self.degree_days + inc
+            self.lai = crop_mod.lai_from_degree_days(self.crop,
+                                                     self.degree_days)
+        if self.config.compute_hydrall and self.hydrall is not None:
+            from criteria3d_tpu.physics import hydrall as hy
+            self.hydrall = hy.hydrall_daily_update(
+                self.hydrall, 0.5 * (t_min + t_max))
+            if date is not None and date.month == 1 and date.day == 1:
+                self.hydrall, litter = hy.hydrall_annual_update(self.hydrall)
+                if self.rothc is not None:
+                    # annual forest litter feeds the RothC input pools
+                    # (updateRothC plant-input path)
+                    self._rothc_litter = getattr(
+                        self, "_rothc_litter", 0.0) + litter
+
+    def monthly_rothc_update(self, t_avg_month, prec_month_mm,
+                             et0_month_mm, *, clay_pct=25.0,
+                             plant_cover=0.6):
+        """Monthly RothC step (updateRothC, criteria3DProject.cpp:1233-1236)."""
+        if self.rothc is None:
+            return None
+        from criteria3d_tpu.physics.rothc import rothc_monthly_step
+        bic = jnp.asarray(prec_month_mm) - 0.75 * jnp.asarray(et0_month_mm)
+        litter = getattr(self, "_rothc_litter", 0.0)
+        monthly_c = jnp.asarray(litter) / 12.0 if litter is not None else 0.0
+        self.rothc, out = rothc_monthly_step(
+            self.rothc, temp_c=t_avg_month, monthly_bic=bic,
+            clay_pct=clay_pct, plant_cover=plant_cover,
+            carbon_input=monthly_c)
+        return out
 
     # ------------------------------------------------------------------
     def run_hour(self, forcing: HourlyForcing, year: int, month: int, day: int,
@@ -181,6 +222,31 @@ class Criteria3DModel:
             forcing.rel_humidity, forcing.wind_speed)
         et0 = jnp.where(valid, et0, 0.0)
         out["et0"] = et0
+
+        # ---- HYDRALL forest model (computeHydrallModel,
+        # criteria3DProject.cpp:886-888, 1827-1915)
+        if cfg.compute_hydrall and self.hydrall is not None:
+            from criteria3d_tpu.constants import STEFAN_BOLTZMANN
+            from criteria3d_tpu.physics import hydrall as hy
+            t_air_k = jnp.asarray(forcing.air_temperature) + ZEROCELSIUS
+            es_h = meteo_mod.saturation_vapor_pressure(
+                forcing.air_temperature)
+            ea_h = es_h * jnp.asarray(forcing.rel_humidity) / 100.0
+            lw = meteo_mod.atmospheric_emissivity_brutsaert(ea_h, t_air_k) \
+                * STEFAN_BOLTZMANN * t_air_k ** 4
+            self.hydrall, hyd_out = hy.hydrall_hour(
+                self.hydrall,
+                air_temp_c=forcing.air_temperature,
+                rel_humidity=forcing.rel_humidity,
+                beam_irr=rad.beam, diffuse_irr=rad.diffuse,
+                longwave_irr=lw,
+                sun_elevation_deg=rad.sun["elevation_refr"],
+                pressure_pa=meteo_mod.pressure_from_altitude(dem2d),
+                prec_mm=forcing.precipitation, et0_mm=et0,
+                year=year, doy=rad_mod._day_of_year(year, month, day),
+                forest_mask=self.forest_mask)
+            out["hydrall_assimilation"] = hyd_out["assimilation"]
+            out["hydrall_transpiration"] = hyd_out["transpiration_mm"]
 
         # ---- canopy interception
         if cfg.compute_interception and self.lai is not None:
@@ -297,6 +363,7 @@ class Criteria3DModel:
         from criteria3d_tpu.io.state_io import save_state, state_dir_name
 
         daily_log = []
+        month_acc = dict(t=0.0, prec=0.0, et0=0.0, n=0)
         for d in range(n_days):
             date = first_day + datetime.timedelta(days=d)
             t_min, t_max = None, None
@@ -308,10 +375,24 @@ class Criteria3DModel:
                 t_max = t_val if t_max is None else max(t_max, t_val)
                 out = self.run_hour(forcing, date.year, date.month, date.day,
                                     hour)
-                # daily crop update at 23h (criteria3DProject.cpp:1224)
-                if hour == 23 and self.config.compute_crop:
-                    self.daily_update(t_min, t_max)
+                month_acc["t"] += t_val
+                month_acc["prec"] += float(jnp.mean(jnp.where(
+                    self.grid.mask[0], forcing.precipitation, 0.0)))
+                month_acc["et0"] += float(jnp.mean(out["et0"]))
+                month_acc["n"] += 1
+                # daily update at 23h (criteria3DProject.cpp:1224, 1238)
+                if hour == 23:
+                    self.daily_update(t_min, t_max, date=date)
             daily_log.append(dict(date=str(date), mbr=out["mbr"]))
+
+            # monthly RothC step at month end (updateRothC, :1233-1236)
+            next_day = date + datetime.timedelta(days=1)
+            if self.rothc is not None and next_day.month != date.month \
+                    and month_acc["n"] > 0:
+                self.monthly_rothc_update(
+                    month_acc["t"] / month_acc["n"], month_acc["prec"],
+                    month_acc["et0"])
+                month_acc = dict(t=0.0, prec=0.0, et0=0.0, n=0)
 
             if save_daily_state and state_save_dir:
                 path = f"{state_save_dir}/{state_dir_name(date.year, date.month, date.day, 23)}"

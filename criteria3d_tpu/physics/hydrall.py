@@ -27,6 +27,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from criteria3d_tpu.constants import R_GAS, STEFAN_BOLTZMANN, ZEROCELSIUS
 
@@ -330,3 +331,136 @@ def annual_growth(state: HydrallPlantState, *, yearly_prec, yearly_et0,
         biomass_root=jnp.maximum(root + growth * to_root, 1e-5),
         npp_year=jnp.zeros_like(state.npp_year))
     return new, litter
+
+
+# ----------------------------------------------------------------------
+# whole-map hourly/daily/annual driver (Crit3DProject::computeHydrallModel
+# / dailyUpdateHydrall, bin/CRITERIA3D/criteria3DProject.cpp:634-700,
+# 1238-1239, 1827-1915)
+# ----------------------------------------------------------------------
+
+# atmospheric CO2 scenario table (getCO2, hydrall.cpp): [year] -> [ppm]
+_CO2_YEARS = np.array([1750, 1800, 1850, 1900, 1910, 1920, 1930, 1940, 1950,
+                       1960, 1970, 1980, 1990, 2000, 2010, 2020, 2030, 2040,
+                       2050, 2060, 2070, 2080, 2090, 2100], dtype=float)
+_CO2_PPM = np.array([278, 283, 285, 296, 300, 303, 307, 310, 311, 317, 325,
+                     339, 354, 369, 389, 413, 443, 473, 503, 530, 550, 565,
+                     570, 575], dtype=float)
+
+
+def atmospheric_co2_ppm(year: int, doy: int) -> float:
+    """Scenario CO2 [ppm] with the seasonal cosine (getCO2, hydrall.cpp)."""
+    base = float(np.interp(float(year), _CO2_YEARS, _CO2_PPM))
+    return base + 3.0 * np.cos(2.0 * np.pi * doy / 365.0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HydrallMaps:
+    """Forest state maps (hydrallMaps, criteria3DProject.h:135-138) —
+    (R, C) fields plus annual accumulators."""
+
+    plant: HydrallPlantState          # biomass pools + npp_year maps
+    lai: jax.Array                    # [m2 m-2] canopy LAI
+    t30_avg: jax.Array                # [degC] running ~30-day mean air T
+    transpiration_year: jax.Array     # [mm]
+    prec_year: jax.Array
+    et0_year: jax.Array
+
+    @staticmethod
+    def initialize(shape, *, lai=4.0, t_avg=12.0) -> "HydrallMaps":
+        f = lambda v: jnp.full(shape, v, jnp.float64)
+        return HydrallMaps(
+            plant=HydrallPlantState.initialize(shape),
+            lai=f(lai), t30_avg=f(t_avg),
+            transpiration_year=f(0.0), prec_year=f(0.0), et0_year=f(0.0))
+
+
+def hydrall_hour(maps: HydrallMaps, *, air_temp_c, rel_humidity, beam_irr,
+                 diffuse_irr, longwave_irr, sun_elevation_deg, pressure_pa,
+                 prec_mm, et0_mm, year: int, doy: int, soil_stress=1.0,
+                 forest_mask=None) -> tuple[HydrallMaps, dict]:
+    """One hour of the HYDRALL forest model over the whole map.
+
+    Mirrors computeHydrallPoint driven per forest cell
+    (criteria3DProject.cpp:1827-1915 + hydrall.cpp photosynthesisAndTranspiration):
+    sun/shade big-leaf absorption, Farquhar+Wang-Leuning coupled kernel per
+    leaf class, whole-plant respiration, NPP accumulation into the annual
+    pool. Returns (new_maps, dict(assimilation, transpiration_mm)).
+    """
+    t_air = jnp.asarray(air_temp_c, jnp.float64)
+    lai = jnp.maximum(maps.lai, 0.1)
+    sin_el = jnp.maximum(jnp.sin(jnp.asarray(sun_elevation_deg)
+                                 * jnp.pi / 180.0), 0.0)
+
+    es = 611.0 * jnp.exp(17.502 * t_air / (t_air + 240.97))
+    rh = jnp.clip(jnp.asarray(rel_humidity), 1.0, 100.0)
+    vpd = jnp.maximum(es * (1.0 - rh / 100.0), 0.0)
+    t_c = t_air
+    slope_sat = 4098.0 * (es / 1000.0) / ((237.3 + t_c) ** 2) * 1000.0
+    psychro = 1013.0 * jnp.asarray(pressure_pa) / 1000.0 \
+        / (0.622 * (2501000.0 - 2369.2 * t_c)) * 1000.0
+    co2_pa = atmospheric_co2_ppm(year, doy) * 1e-6 * jnp.asarray(pressure_pa)
+
+    absorbed = big_leaf_radiation(lai, sin_el, beam_irr, diffuse_irr, t_air,
+                                  longwave_irr)
+    t_sun, t_shade = leaf_temperature(t_air, beam_irr, diffuse_irr, vpd,
+                                      psychro, sin_el)
+
+    assim = jnp.zeros_like(lai)
+    transp = jnp.zeros_like(lai)
+    for sunlit, t_leaf in ((True, t_sun), (False, t_shade)):
+        par = absorbed["par_sunlit" if sunlit else "par_shaded"]
+        fp = farquhar_parameters(t_leaf, par, lai, absorbed["kb"],
+                                 absorbed["kd_par"], pressure_pa,
+                                 maps.t30_avg, sunlit=sunlit)
+        a, _, tr = photosynthesis_kernel(
+            fp, co2_pa=co2_pa, vpd_pa=vpd, pressure_pa=pressure_pa,
+            air_temp_c=t_air,
+            rni=absorbed["rni_sunlit" if sunlit else "rni_shaded"],
+            slope_sat_vp=slope_sat, psychro_pa=psychro,
+            stress=jnp.asarray(soil_stress))
+        assim = assim + a
+        transp = transp + tr
+
+    resp = plant_respiration(maps.plant, t_air, jnp.asarray(soil_stress))
+    npp_hour = (assim - resp) * 3600.0 * 12e-3          # [kg C m-2 h-1]
+    transp_mm = jnp.maximum(transp, 0.0) * 3600.0 * 18e-3
+
+    if forest_mask is not None:
+        fm = jnp.asarray(forest_mask)
+        npp_hour = jnp.where(fm, npp_hour, 0.0)
+        transp_mm = jnp.where(fm, transp_mm, 0.0)
+
+    plant = dataclasses.replace(
+        maps.plant, npp_year=maps.plant.npp_year + npp_hour)
+    new = dataclasses.replace(
+        maps, plant=plant,
+        transpiration_year=maps.transpiration_year + transp_mm,
+        prec_year=maps.prec_year + jnp.asarray(prec_mm),
+        et0_year=maps.et0_year + jnp.asarray(et0_mm))
+    return new, dict(assimilation=assim, transpiration_mm=transp_mm,
+                     respiration=resp)
+
+
+def hydrall_daily_update(maps: HydrallMaps, t_avg_day) -> HydrallMaps:
+    """Daily state update: the ~30-day running mean temperature feeding the
+    Kattge-Knorr acclimation (mapLast30DaysTAvg, criteria3DProject.cpp)."""
+    t30 = maps.t30_avg + (jnp.asarray(t_avg_day) - maps.t30_avg) / 30.0
+    return dataclasses.replace(maps, t30_avg=t30)
+
+
+def hydrall_annual_update(maps: HydrallMaps,
+                          specific_leaf_area: float = 20.0
+                          ) -> tuple[HydrallMaps, jax.Array]:
+    """Jan-1 annual step (dailyUpdateHydrall, criteria3DProject.cpp:634):
+    turnover + NPP allocation, LAI from the new foliage biomass, annual
+    accumulators reset. Returns (new_maps, litter [kg C m-2])."""
+    plant, litter = annual_growth(maps.plant,
+                                  yearly_prec=maps.prec_year,
+                                  yearly_et0=maps.et0_year)
+    lai = jnp.clip(plant.biomass_foliage * specific_leaf_area, 0.5, 8.0)
+    zero = jnp.zeros_like(maps.prec_year)
+    return dataclasses.replace(
+        maps, plant=plant, lai=lai, transpiration_year=zero,
+        prec_year=zero, et0_year=zero), litter

@@ -262,6 +262,7 @@ class Criteria3DProject:
         roughness = np.full((R, C), 0.05)
         pond = np.full((R, C), 0.002)
         land_use = np.zeros((R, C), dtype=np.int8)
+        forest_mask = np.zeros((R, C), dtype=bool)
         if self.land_unit_map is not None and self.land_units:
             lm = np.asarray(self.land_unit_map)
             for unit in self.land_units:
@@ -275,6 +276,8 @@ class Criteria3DProject:
                     land_use[cells] = BoundaryType.URBAN
                 elif lu == "ROAD":
                     land_use[cells] = BoundaryType.ROAD
+                elif lu == "FOREST":
+                    forest_mask[cells] = True
 
         self.grid = Grid.build(
             dem, self.header.cellsize, soil,
@@ -298,6 +301,8 @@ class Criteria3DProject:
             if cfg.is_initial_water_potential else -3.0
         self.model = Criteria3DModel.create(self.grid, self.params, mconfig,
                                             matric_potential=psi0)
+        if forest_mask.any():
+            self.model.forest_mask = jnp.asarray(forest_mask & dem_valid)
         from criteria3d_tpu.core.grid import slope_aspect
         slope, aspect = slope_aspect(dem, self.header.cellsize)
         self.model.slope_deg = jnp.asarray(np.where(dem_valid, slope, 0.0))
@@ -532,7 +537,7 @@ class Criteria3DProject:
             t_min = t_mean if t_min is None else min(t_min, t_mean)
             t_max = t_mean if t_max is None else max(t_max, t_mean)
             if when.hour == 23:
-                self.model.daily_update(t_min, t_max)
+                self.model.daily_update(t_min, t_max, date=when.date())
                 t_min = t_max = None
             log.append(dict(time=str(when), mbr=out["mbr"]))
         return log
