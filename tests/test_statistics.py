@@ -1,0 +1,116 @@
+"""Statistics + gamma substrate tests (mathFunctions analogue)."""
+
+import math
+
+import numpy as np
+import pytest
+from scipy import special, stats as sps
+
+from criteria3d_tpu.constants import NODATA
+from criteria3d_tpu.utils import statistics as st
+from criteria3d_tpu.utils.logger import ProjectLogger
+
+
+def test_basic_stats_with_nodata():
+    v = [1.0, 2.0, NODATA, 3.0, 4.0]
+    assert st.mean(v) == pytest.approx(2.5)
+    assert st.variance(v) == pytest.approx(np.var([1, 2, 3, 4], ddof=1))
+    assert st.standard_deviation(v) == pytest.approx(
+        np.std([1, 2, 3, 4], ddof=1))
+
+
+def test_linear_regression():
+    x = np.array([0.0, 1, 2, 3, 4])
+    y = 2.0 + 0.5 * x
+    q, m, r2 = st.linear_regression(x, y)
+    assert q == pytest.approx(2.0)
+    assert m == pytest.approx(0.5)
+    assert r2 == pytest.approx(1.0)
+    # zero intercept
+    q0, m0, _ = st.linear_regression(x, 0.7 * x, zero_intercept=True)
+    assert q0 == 0.0
+    assert m0 == pytest.approx(0.7)
+
+
+def test_error_scores():
+    m = np.array([1.0, 2, 3, 4])
+    s = np.array([1.1, 1.9, 3.2, 3.8])
+    assert st.root_mean_square_error(m, s) == pytest.approx(
+        np.sqrt(np.mean((m - s) ** 2)))
+    assert st.mean_error(m, s) == pytest.approx(np.mean(s - m))
+    assert st.mean_absolute_error(m, s) == pytest.approx(
+        np.mean(np.abs(s - m)))
+    assert st.nash_sutcliffe_efficiency(m, m) == pytest.approx(1.0)
+
+
+def test_pearson_covariance():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=50)
+    y = 0.8 * x + rng.normal(scale=0.3, size=50)
+    assert st.pearson(x, y) == pytest.approx(np.corrcoef(x, y)[0, 1])
+    assert st.covariance(x, y) == pytest.approx(np.cov(x, y)[0, 1])
+
+
+def test_incomplete_gamma_vs_scipy():
+    for alpha in (0.5, 1.0, 2.3, 7.0):
+        for x in (0.1, 0.9, 2.5, 10.0):
+            assert st.incomplete_gamma(alpha, x) == pytest.approx(
+                float(special.gammainc(alpha, x)), abs=1e-9)
+
+
+def test_gamma_cdf():
+    # matches the scipy gamma distribution with a zero point mass
+    beta, shape, p0 = 2.0, 1.7, 0.1
+    for x in (0.5, 2.0, 6.0):
+        expect = p0 + (1 - p0) * sps.gamma.cdf(x, shape, scale=beta)
+        assert st.gamma_cdf(x, beta, shape, p0) == pytest.approx(expect,
+                                                                 abs=1e-9)
+    assert st.gamma_cdf(0.0, beta, shape, p0) == p0
+
+
+def test_percentile():
+    v = np.arange(1, 101, dtype=float)
+    assert st.percentile(v, 50) == pytest.approx(np.percentile(v, 50))
+    assert st.percentile(v, 90) == pytest.approx(np.percentile(v, 90))
+
+
+def test_logger(tmp_path):
+    log = ProjectLogger("testproj")
+    path = log.set_log_file(str(tmp_path / "LOG"), "unit")
+    log.info("hello")
+    log.error("boom")
+    log.close()
+    text = open(path).read()
+    assert "hello" in text
+    assert "ERROR! boom" in text
+
+
+def test_debug_dump(tmp_path):
+    """MCR-analogue dumps: state + assembled system round-trip."""
+    import jax.numpy as jnp
+
+    from criteria3d_tpu import Grid, SoilFields, SolverParameters, WaterState
+    from criteria3d_tpu.solver.step import initialize_balance
+    from criteria3d_tpu.utils.debug_dump import (dump_linear_system,
+                                                 dump_solver_state, load_dump)
+
+    dem = np.full((4, 4), 50.0)
+    soil = SoilFields.uniform(dem.shape, vg_alpha=1.2, vg_n=1.5, vg_he=0.02,
+                              theta_s=0.45, theta_r=0.06, k_sat=2e-5)
+    grid = Grid.build(dem, 10.0, soil, total_depth=0.4)
+    params = SolverParameters()
+    state = WaterState.initialize(grid, params, matric_potential=-1.0)
+    state = initialize_balance(grid, params, state)
+
+    p1 = dump_solver_state(str(tmp_path / "state"), grid, params, state)
+    d1 = load_dump(p1)
+    np.testing.assert_array_equal(d1["h"], np.asarray(state.h))
+    assert d1["mask"].sum() == grid.n_nodes
+
+    p2 = dump_linear_system(str(tmp_path / "system"), grid, params, state,
+                            dt=60.0)
+    d2 = load_dump(p2)
+    assert d2["b"].shape == grid.shape
+    assert d2["c_lat"].shape == (8,) + grid.shape
+    # diagonal-preconditioned rows: finite everywhere on the mask
+    assert np.isfinite(d2["b"][d1["mask"]]).all()
