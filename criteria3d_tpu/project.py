@@ -167,9 +167,14 @@ class Criteria3DProject:
         return prj
 
     # ------------------------------------------------------------------
-    def initialize(self, *, dtype=jnp.float64) -> None:
+    def initialize(self, *, dtype=jnp.float64, fast: bool = False) -> None:
         """Build the 3-D grid + model state (initialize3DModel,
-        project3D.cpp:456-616)."""
+        project3D.cpp:456-616).
+
+        ``fast=True`` selects the mixed-precision production path (f64
+        state/assembly + f32 psi-form sweeps) — the app-level analogue of
+        the reference's GPU-solver toggle. The accuracy-derived dt/MBR
+        acceptance gates are unchanged; see SolverParameters.fast_f32."""
         cfg = self.config
         R, C = self.dem.shape
         dem_valid = ~np.isclose(self.dem, self.header.nodata)
@@ -290,6 +295,11 @@ class Criteria3DProject:
             free_lateral_drainage=cfg.free_lateral_drainage,
             dtype=dtype)
         self.params = cfg.solver_parameters(self.header.cellsize)
+        if fast:
+            # f32 cannot resolve the accuracy rule's 1e-10 residual; the
+            # sweep loop clamps its tolerance to 1e-7 (solver/step.py)
+            self.params = dataclasses.replace(self.params,
+                                              sweep_dtype=jnp.float32)
 
         mconfig = ModelConfig(
             latitude=cfg.latitude, longitude=cfg.longitude,

@@ -58,7 +58,7 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
         dt_heat = jnp.minimum(dt_heat, dt_water - t_done)
         # Courant limitation from the boundary flux
         _, dt_limited, _ = H.update_boundary_heat(
-            grid, params, heat_s, boundary, water_new, dt_heat)
+            grid, params, heat_s, boundary, water_new, dt_heat, dt_water)
         new_heat, mbr = H.heat_step(grid, params, heat_s, boundary,
                                     water_new, dt_limited, dt_water)
         # the reference rejects only while dtHeat > 10*dtMin

@@ -407,6 +407,115 @@ def isothermal_latent_link_flux(grid: Grid, params: SolverParameters,
     return total
 
 
+def advective_link_coefficients(grid: Grid, params: SolverParameters,
+                                heat: HeatState, water: WaterState,
+                                node_h):
+    """Implicit-upwind advective heat-exchange coefficients [W K-1].
+
+    The reference adds inter-node advection explicitly to the heat RHS
+    (computeAdvectiveFlux, heat.cpp:606-621) — but it reads the stored
+    Jacobi-PRECONDITIONED matrix values as "fluxes" (saveNodeWaterFluxes,
+    heat.cpp:117-127: getMatrixElement after preconditioningMatrix), so
+    its advective term is the physical flux scaled by 1/diag — orders of
+    magnitude too small, which is also what keeps its explicit
+    absolute-Kelvin treatment stable. Here the term uses the PHYSICAL
+    per-link water flux a_link*(H_j - H_i), discretized implicitly with
+    upwinding in enthalpy form referenced to 0 degC: node i gains
+
+        sum_in c_in (T_up - T0) - sum_out c_out (T_i - T0),   T0 = 273.15 K
+
+    with c = C_w*|q| per link. Pairwise exchanges cancel exactly (the
+    upwind temperature at the new time level is shared by both endpoints),
+    so the heat-balance MBR gate is preserved; referencing to 0 degC
+    instead of 0 K bounds the impact of flux-reconstruction error by the
+    Celsius temperature, not the absolute one. See docs/DEVIATIONS.md.
+
+    Returns (adv_up, adv_down, adv_lat[8], adv_diag, adv_b): off-diagonal
+    inflow couplings per direction [W K-1], the diagonal outflow sum
+    [W K-1], and the constant RHS term T0*(sum c_out - sum c_in) [W].
+    Includes the isothermal vapor advection (HEAT_CAPACITY_WATER_VAPOR
+    x vapor mass flux) when params.heat_vapor.
+    """
+    heat_mask = grid.mask.at[0].set(False)
+    avg_h = compute_mean(node_h, water.h_old, MeanType.ARITHMETIC)
+    zero = jnp.zeros_like(avg_h)
+
+    # --- per-direction inflow-positive liquid fluxes [m3 s-1] ---
+    k = water.k
+    k_above = jnp.roll(k, 1, axis=0)
+    mean_kv = compute_mean(jnp.maximum(k, 1e-30),
+                           jnp.maximum(k_above, 1e-30), params.mean_type)
+    dist_v = jnp.where(grid.vert_dist > 0, grid.vert_dist, 1.0)
+    a_up = mean_kv * grid.area / dist_v
+    up_ok = heat_mask & jnp.roll(heat_mask, 1, axis=0)
+    up_ok = up_ok.at[0].set(False).at[1].set(False)
+    q_up = jnp.where(up_ok, a_up * (jnp.roll(avg_h, 1, axis=0) - avg_h), 0.0)
+    down_ok = heat_mask & jnp.roll(heat_mask, -1, axis=0)
+    down_ok = down_ok.at[-1].set(False)
+    q_down = jnp.where(down_ok,
+                       jnp.roll(a_up, -1, axis=0)
+                       * (jnp.roll(avg_h, -1, axis=0) - avg_h), 0.0)
+
+    k_lat = jnp.maximum(k * params.lateral_vertical_ratio, 1e-30)
+    q_lat = []
+    for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+        nbr_ok = heat_mask & shift2d(heat_mask, di, dj, fill=False)
+        mean_k = compute_mean(k_lat, jnp.maximum(shift2d(k_lat, di, dj),
+                                                 1e-30), params.mean_type)
+        a = mean_k * grid.lat_area / grid.lat_dist3d[idx]
+        q_lat.append(jnp.where(nbr_ok,
+                               a * (shift2d(avg_h, di, dj) - avg_h), 0.0))
+
+    # --- vapor mass fluxes [kg s-1] ---
+    if params.heat_vapor:
+        psi_e = (avg_h - grid.z) * GRAVITY      # [J kg-1]
+        ivk = isothermal_vapor_conductivity(grid, params, heat.t,
+                                            avg_h - grid.z)
+        mean_iv = compute_mean(jnp.maximum(ivk, 1e-30),
+                               jnp.maximum(jnp.roll(ivk, 1, axis=0), 1e-30),
+                               params.mean_type)
+        qv_up = jnp.where(up_ok, mean_iv * (jnp.roll(psi_e, 1, axis=0)
+                                            - psi_e) / dist_v * grid.area,
+                          0.0)
+        qv_down = jnp.where(
+            down_ok,
+            jnp.roll(mean_iv, -1, axis=0)
+            * (jnp.roll(psi_e, -1, axis=0) - psi_e)
+            / jnp.roll(dist_v, -1, axis=0) * grid.area, 0.0)
+        qv_lat = []
+        for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+            nbr_ok = heat_mask & shift2d(heat_mask, di, dj, fill=False)
+            mean_v = compute_mean(jnp.maximum(ivk, 1e-30),
+                                  jnp.maximum(shift2d(ivk, di, dj), 1e-30),
+                                  params.mean_type)
+            qv_lat.append(jnp.where(
+                nbr_ok, mean_v * (shift2d(psi_e, di, dj) - psi_e)
+                / grid.lat_dist3d[idx] * grid.lat_area, 0.0))
+    else:
+        qv_up = qv_down = zero
+        qv_lat = [zero] * len(LATERAL_OFFSETS)
+
+    def coeff(q_liq, q_vap):
+        """(inflow, outflow) upwind couplings [W K-1] for one link."""
+        cin = HEAT_CAPACITY_WATER * jnp.maximum(q_liq, 0.0) \
+            + HEAT_CAPACITY_WATER_VAPOR * jnp.maximum(q_vap, 0.0)
+        cout = HEAT_CAPACITY_WATER * jnp.maximum(-q_liq, 0.0) \
+            + HEAT_CAPACITY_WATER_VAPOR * jnp.maximum(-q_vap, 0.0)
+        return cin, cout
+
+    adv_up, out_up = coeff(q_up, qv_up)
+    adv_down, out_down = coeff(q_down, qv_down)
+    adv_lat, adv_diag = [], out_up + out_down
+    cin_sum = adv_up + adv_down
+    for idx in range(len(LATERAL_OFFSETS)):
+        cin, cout = coeff(q_lat[idx], qv_lat[idx])
+        adv_lat.append(cin)
+        adv_diag = adv_diag + cout
+        cin_sum = cin_sum + cin
+    adv_b = ZEROCELSIUS * (adv_diag - cin_sum)
+    return adv_up, adv_down, jnp.stack(adv_lat), adv_diag, adv_b
+
+
 def boundary_vapor_concentration(boundary: HeatBoundary):
     """Atmospheric vapor [kg m-3] at the boundary temperature/RH."""
     sat_p = saturation_vapor_pressure(boundary.air_temperature - ZEROCELSIUS)
@@ -491,7 +600,7 @@ def heat_surface_water_sink(grid: Grid, params: SolverParameters,
 
 def update_boundary_heat(grid: Grid, params: SolverParameters,
                          heat: HeatState, boundary: HeatBoundary,
-                         water: WaterState, dt_max):
+                         water: WaterState, dt_max, dt_water=None):
     """Per-node heat flow [W] + Courant-limited dtHeat.
 
     Mirrors updateBoundaryHeatData (heat.cpp:237-341): the HeatSurface nodes
@@ -500,6 +609,8 @@ def update_boundary_heat(grid: Grid, params: SolverParameters,
     fluxes; returns (heat_flow, dt_heat, boundary_fluxes_dict).
     """
     L = grid.n_layers
+    if dt_water is None:
+        dt_water = dt_max
     flow = jnp.where(grid.mask, heat.sink_source, 0.0).at[0].set(0.0)
 
     # HeatSurface = layer-1 nodes with an atmosphere boundary
@@ -523,22 +634,73 @@ def update_boundary_heat(grid: Grid, params: SolverParameters,
         latent = latent_vaporization_heat(
             boundary.air_temperature - ZEROCELSIUS) * vapor_flux
     if params.heat_advection:
-        # advected heat of the rain reaching the surface and of the
-        # evaporative water flow (heat.cpp:273-287); the rain part uses the
-        # surface sink/source (the hourly precipitation flow assignment)
-        rain_flux = jnp.maximum(water.sink_source[0], 0.0)   # [m3 s-1]
-        advective = rain_flux * WATER_DENSITY * HEAT_CAPACITY_WATER \
-            * boundary.air_temperature / grid.area
+        # advected heat of the infiltrating water (heat.cpp:276-280): the
+        # reference reads the layer-1 node's UP-link flux — the
+        # surface->soil INFILTRATION, not the rainfall rate (ponded excess
+        # carries no enthalpy into the soil). Reconstructed here as the
+        # physical infiltration conductance x head difference (the
+        # reference's stored value is Jacobi-preconditioned, see
+        # advective_link_coefficients / docs/DEVIATIONS.md); infiltration
+        # advects the boundary air temperature, exfiltration the node's.
+        from criteria3d_tpu.solver import water as Wmod
+        wflow = jnp.where(grid.mask, water.sink_source, 0.0)
+        # the infiltration conductance is dt-dependent (the ponded-water
+        # availability bound, water.cpp:515-528): reconstruct it with the
+        # WATER step's dt, matching the flux the water solver produced
+        a01 = Wmod._vertical_conductance(grid, params, water.h, water.h_old,
+                                         water.k, wflow, dt_water)[1]
+        avg_h_w = 0.5 * (water.h + water.h_old)
+        q_inf = a01 * (avg_h_w[0] - avg_h_w[1])      # [m3 s-1], >0 into soil
+        # 0 degC-referenced enthalpy (see advective_link_coefficients):
+        # infiltration brings the rain's, exfiltration removes the node's
+        adv_t_inf = jnp.where(q_inf > 0.0, boundary.air_temperature,
+                              heat.t[1])
+        advective = q_inf * HEAT_CAPACITY_WATER \
+            * (adv_t_inf - ZEROCELSIUS) / grid.area
+        # advected heat of the evaporative/condensing vapor flow
+        # (heat.cpp:282-286)
+        if params.heat_vapor:
+            evap_sink = heat_surface_water_sink(grid, params, heat,
+                                                boundary, water, dt_water)
+            evap_rate = evap_sink[0] + evap_sink[1]          # [m3 s-1]
+            adv_t = jnp.where(evap_rate < 0.0, heat.t[1],
+                              boundary.air_temperature)
+            advective = advective + evap_rate * WATER_DENSITY \
+                * HEAT_CAPACITY_WATER_VAPOR * (adv_t - ZEROCELSIUS) \
+                / grid.area
 
     up_area = grid.area
     flux_sum = (radiative + sensible + latent + advective) * up_area
     flow = flow.at[1].set(jnp.where(hs_mask, flow[1] + flux_sum, flow[1]))
 
-    # heat Courant: |flux| dt / (C * V) <= 1 (heat.cpp:292-341)
-    avg_h = water.h_old[1] - grid.z[1]
-    cap = heat_capacity(grid, params, avg_h, heat.t_old[1])
-    courant = jnp.where(hs_mask,
-                        jnp.abs(flow[1]) * dt_max / (cap * grid.volume[1]),
+    # FreeDrainage / PrescribedTotalPotential advective outflow
+    # (heat.cpp:300-305): draining water carries its node's 0 degC-
+    # referenced enthalpy out; the reference's inflow branch needs a fixed
+    # boundary temperature (fixedTemperatureValue), not configured here,
+    # so prescribed-boundary inflow advection is skipped.
+    if params.heat_advection:
+        from criteria3d_tpu.core.grid import BoundaryType
+        from criteria3d_tpu.solver import water as Wmod2
+        _, brate = Wmod2.update_boundary_water(
+            grid, params, water.h, water.h_old, water.k, water.sink_source,
+            water.pond, dt_water)
+        heat_mask_b = grid.mask.at[0].set(False)
+        adv_bt = ((grid.btype == BoundaryType.FREE_DRAINAGE)
+                  | (grid.btype == BoundaryType.PRESCRIBED_TOTAL_POTENTIAL))
+        drain_adv = jnp.where(
+            heat_mask_b & adv_bt & (brate < 0.0),
+            brate * HEAT_CAPACITY_WATER * (heat.t - ZEROCELSIUS), 0.0)
+        flow = flow + drain_adv
+
+    # heat Courant: |flux| dt / (C * V) <= 1 (heat.cpp:292-341); extended
+    # over every boundary-flux-carrying heat node (the reference evaluates
+    # it on HeatSurface nodes only)
+    avg_h = water.h_old - grid.z
+    cap = heat_capacity(grid, params, avg_h, heat.t_old)
+    heat_mask_all = grid.mask.at[0].set(False)
+    courant = jnp.where(heat_mask_all,
+                        jnp.abs(flow) * dt_max
+                        / (cap * jnp.maximum(grid.volume, 1e-12)),
                         0.0)
     courant_max = jnp.max(courant)
 
@@ -609,7 +771,7 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
     """
     wf = params.heat_weight_factor
     heat_flow, _, _ = update_boundary_heat(grid, params, heat, boundary,
-                                           water, dt_heat)
+                                           water, dt_heat, dt_water)
 
     node_h = _node_h_from_timesteps(water, dt_heat, dt_water)
     avg_h = 0.5 * (water.h_old + node_h) - grid.z
@@ -644,8 +806,19 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
             * WATER_DENSITY
     heat_cap_corr = heat_cap_corr * grid.volume
 
+    # inter-node advection: implicit upwind couplings (see
+    # advective_link_coefficients for the deviation from the reference's
+    # explicit preconditioned-value scheme)
+    if params.heat_advection:
+        adv_up, adv_down, adv_lat, adv_diag, adv_b = \
+            advective_link_coefficients(grid, params, heat, water, node_h)
+    else:
+        adv_up = adv_down = jnp.zeros_like(a_up)
+        adv_lat = jnp.zeros_like(a_lat)
+        adv_diag = adv_b = jnp.zeros_like(a_up)
+
     sum_a = a_up + a_down + jnp.sum(a_lat, axis=0)
-    diag = sum_a * wf + cap / dt_heat
+    diag = sum_a * wf + adv_diag + cap / dt_heat
     diag = jnp.where(heat_mask, diag, 1.0)
 
     # explicit part: sum_j a_ij (1-wf) (T0_j - T0_i)
@@ -656,7 +829,8 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
         f0 = f0 + a_lat[idx] * (shift2d(t0, di, dj) - t0)
     f0 = f0 * (1.0 - wf)
 
-    b = cap * t0 / dt_heat - heat_cap_corr / dt_heat + heat_flow + f0
+    b = cap * t0 / dt_heat - heat_cap_corr / dt_heat + heat_flow + f0 \
+        + adv_b
     if params.heat_vapor:
         # inter-node isothermal latent vapor fluxes enter the heat RHS as
         # invariant fluxes (computeHeatLinkFluxes, heat.cpp:432-446)
@@ -665,9 +839,9 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
     b = jnp.where(heat_mask, b, 0.0)
 
     inv_diag = jnp.where(diag > 0, 1.0 / diag, 1.0)
-    c_up = a_up * wf * inv_diag
-    c_down = a_down * wf * inv_diag
-    c_lat = a_lat * wf * inv_diag[None]
+    c_up = (a_up * wf + adv_up) * inv_diag
+    c_down = (a_down * wf + adv_down) * inv_diag
+    c_lat = (a_lat * wf + adv_lat) * inv_diag[None]
     b_p = b * inv_diag
 
     # Jacobi iterations with the reference budget (max approx -> full budget)

@@ -26,18 +26,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, n=10, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    # device->host fence for the remote platform
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(leaf).ravel()[0]
-    return (time.time() - t0) / n
+def timed_loop(make_loop, x0, n=50):
+    """Per-iteration device time of a chained on-device fori_loop.
+
+    On the remote-TPU platform each dispatch costs a tunnel round-trip
+    (~ms), so timing single ops measures RTT, not kernel time. Instead the
+    op is chained n times inside ONE jitted lax.fori_loop program; the
+    difference between the n-iteration and 1-iteration programs isolates
+    the device time.
+    """
+    run_n = make_loop(n)
+    run_1 = make_loop(1)
+
+    def wall(fn):
+        out = fn(x0)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(x0)
+            jax.block_until_ready(out)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            _ = np.asarray(leaf).ravel()[0]   # device->host fence
+            best = min(best, time.time() - t0)
+        return best
+
+    t_n = wall(run_n)
+    t_1 = wall(run_1)
+    return max(t_n - t_1, 1e-9) / (n - 1)
 
 
 def main():
@@ -52,18 +68,27 @@ def main():
     grid = bench.build_grid(coarsen)
     params = SolverParameters.fast_f32()
 
-    state = WaterState.initialize(grid, params, matric_potential=-2.0)
-    state = initialize_balance(grid, params, state)
-    rain = 0.020 * float(np.asarray(grid.area)) / 3600.0
-    sink = jnp.zeros_like(state.sink_source)
-    sink = sink.at[0].set(jnp.where(grid.mask[0], rain, 0.0))
-    state = dataclasses.replace(state, sink_source=sink)
+    # one jitted setup program — per-op eager dispatch over the remote-TPU
+    # tunnel costs ~1 s/op and would dominate the script otherwise
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("p",))
+    def init_state(g, p):
+        state = WaterState.initialize(g, p, matric_potential=-2.0)
+        state = initialize_balance(g, p, state)
+        rain = 0.020 * g.area / 3600.0
+        sink = jnp.zeros_like(state.sink_source)
+        sink = sink.at[0].set(jnp.where(g.mask[0], rain, 0.0))
+        return dataclasses.replace(state, sink_source=sink)
+
+    state = init_state(grid, params)
+    jax.block_until_ready(state.h)
     dt = jnp.asarray(300.0, params.dtype)
 
     h, h_old, pond = state.h, state.h_old, state.pond
+    from jax import lax
 
-    @jax.jit
-    def assembly(h):
+    def assembly_of(h):
         se = W.compute_se(grid, params, h)
         capacity, k = W.compute_capacity(grid, params, h, h_old, se)
         flow, rate = W.update_boundary_water(grid, params, h, h_old, k,
@@ -71,7 +96,7 @@ def main():
         return W.assemble_system(grid, params, h, h_old, k, flow, capacity,
                                  pond, jnp.asarray(0, jnp.int32), dt)
 
-    system = assembly(h)
+    system = jax.jit(assembly_of)(h)
     jax.block_until_ready(system.b)
 
     sd = params.sweep_dtype or params.dtype
@@ -81,12 +106,7 @@ def main():
         diag=system.diag, courant=system.courant)
     psi0 = (h - grid.z).astype(sd)
 
-    @jax.jit
-    def one_sweep(x):
-        return W.jacobi_sweep_psi(sweep_sys, x, grid, grid.n_nodes)[0]
-
-    @jax.jit
-    def balance(h):
+    def balance_of(h):
         se = W.compute_se(grid, params, h)
         flow, _ = W.update_boundary_water(grid, params, h, h_old,
                                           state.k, state.sink_source, pond,
@@ -94,9 +114,62 @@ def main():
         return W.current_mass_balance(grid, params, h, se, flow,
                                       state.balance_prev.storage, dt)
 
-    t_assembly = timed(assembly, h, n=5)
-    t_sweep = timed(one_sweep, psi0, n=20)
-    t_balance = timed(balance, h, n=5)
+    # each loop body must depend on the previous iterate, or XLA hoists the
+    # whole computation out of the fori_loop
+    def assembly_loop(n):
+        @jax.jit
+        def run(h):
+            def body(i, h):
+                sys = assembly_of(h)
+                return h + 1e-30 * sys.b
+            return lax.fori_loop(0, n, body, h)
+        return run
+
+    def sweep_loop(n):
+        @jax.jit
+        def run(x):
+            def body(i, x):
+                return W.jacobi_sweep_psi(sweep_sys, x, grid,
+                                          grid.n_nodes)[0]
+            return lax.fori_loop(0, n, body, x)
+        return run
+
+    def balance_loop(n):
+        @jax.jit
+        def run(h):
+            def body(i, h):
+                storage, sink, mbe, mbr = balance_of(h)
+                return h + 1e-30 * mbr
+            return lax.fori_loop(0, n, body, h)
+        return run
+
+    t_assembly = timed_loop(assembly_loop, h, n=30)
+    t_sweep = timed_loop(sweep_loop, psi0, n=100)
+    t_balance = timed_loop(balance_loop, h, n=30)
+
+    # Pallas bundled-sweep kernel (K sweeps per HBM pass) for the
+    # XLA-vs-Pallas default decision
+    t_pallas_bundle = None
+    if jax.devices()[0].platform == "tpu":
+        try:
+            from criteria3d_tpu.solver.pallas_jacobi import (
+                SWEEPS_PER_BUNDLE, jacobi_bundle)
+            mask_f = grid.mask.astype(jnp.float32)
+
+            def pallas_loop(n):
+                @jax.jit
+                def run(x):
+                    def body(i, x):
+                        x_new, _ = jacobi_bundle(
+                            sweep_sys.b, sweep_sys.c_up, sweep_sys.c_down,
+                            sweep_sys.c_lat, mask_f, x)
+                        return x_new
+                    return lax.fori_loop(0, n, body, x)
+                return run
+
+            t_pallas_bundle = timed_loop(pallas_loop, psi0, n=20)
+        except Exception as e:  # pragma: no cover - informational
+            print(f"pallas timing failed: {e}", file=sys.stderr)
 
     # HBM traffic of one f32 psi-form sweep: read b + 10 c arrays + x,
     # write x' (+ norm) -> 13 arrays x 4 B x box cells
@@ -123,6 +196,12 @@ def main():
         "share_balance": round(t_balance * balances / total, 3),
         "platform": jax.devices()[0].platform,
     }
+    if t_pallas_bundle is not None:
+        result["t_pallas_bundle_s"] = round(t_pallas_bundle, 5)
+        result["pallas_sweep_equiv_s"] = round(
+            t_pallas_bundle / SWEEPS_PER_BUNDLE, 6)
+        result["pallas_vs_xla_sweep"] = round(
+            t_sweep * SWEEPS_PER_BUNDLE / t_pallas_bundle, 2)
     print(json.dumps(result))
 
 

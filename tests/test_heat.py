@@ -90,6 +90,67 @@ def test_warm_air_heats_soil_from_top():
     assert t[-1] < t[1]
 
 
+def test_advective_link_flux_conserves_and_warms_downstream():
+    """Inter-node advection (computeAdvectiveFlux, heat.cpp:606-621):
+    downward percolation through a warm-over-cold column carries heat down.
+    The pairwise upwind scheme must conserve energy exactly (every link's
+    outflow and inflow use the same advected temperature)."""
+    import dataclasses
+
+    grid, params, water = make_grid(depth=1.0)
+    params = dataclasses.replace(params, heat_advection=True)
+
+    # warm top soil over cold deep soil; near-saturated wet column so the
+    # vertical conductances (and hence the liquid fluxes) are significant
+    t = jnp.full(grid.shape, ZEROCELSIUS + 5.0)
+    t = t.at[1:3].set(ZEROCELSIUS + 20.0)
+    heat0 = H.initialize_heat(grid, t)
+    heat0 = dataclasses.replace(heat0, t=t, t_old=t)
+
+    # head field with a downward gradient (wetter on top)
+    h = grid.z - 0.05
+    h = h.at[1:3].add(0.04)
+    water_wet = dataclasses.replace(water, h=h, h_old=h)
+    from criteria3d_tpu.solver import water as W
+    se = W.compute_se(grid, params, h)
+    _, k = W.compute_capacity(grid, params, h, h, se)
+    water_wet = dataclasses.replace(water_wet, k=k)
+
+    adv_up, adv_down, adv_lat, adv_diag, adv_b = \
+        H.advective_link_coefficients(grid, params, heat0, water_wet, h)
+    # conservation of the upwind scheme: every link's inflow coupling at
+    # one endpoint is the outflow coupling at the other, so the totals
+    # match and the 0 degC-reference constants cancel globally
+    total_in = float(jnp.sum(adv_up + adv_down + jnp.sum(adv_lat, axis=0)))
+    total_out = float(jnp.sum(adv_diag))
+    assert total_in > 0.0, "advective coupling should be non-trivial here"
+    assert total_in == pytest.approx(total_out, rel=1e-12)
+    assert abs(float(jnp.sum(adv_b))) < 1e-9 * total_in * 273.15
+
+    # water percolates downward: layer 3 (first cold layer) receives an
+    # inflow coupling from the warm layer above
+    up3 = np.asarray(adv_up[3])
+    assert up3[np.asarray(grid.mask[3])].mean() > 0.0
+
+    # and a heat_step with advection warms the deep soil faster
+    boundary = H.HeatBoundary.uniform(grid.shape[1:],
+                                      air_temperature=ZEROCELSIUS + 5.0,
+                                      net_irradiance=0.0)
+
+    def run(p):
+        heat = dataclasses.replace(
+            heat0, storage_prev=H.heat_storage(grid, p, heat0, water_wet))
+        for _ in range(6):
+            heat, _ = H.heat_step(grid, p, heat, boundary, water_wet,
+                                  300.0, 300.0)
+        return np.asarray(heat.t)
+
+    t_adv = run(params)
+    t_no = run(dataclasses.replace(params, heat_advection=False))
+    deep = np.asarray(grid.mask[4])
+    assert t_adv[4][deep].mean() > t_no[4][deep].mean()
+
+
 def test_aerodynamic_conductance_positive_and_wind_dependent():
     b1 = H.HeatBoundary.uniform((4, 4), wind_speed=1.0)
     b2 = H.HeatBoundary.uniform((4, 4), wind_speed=6.0)

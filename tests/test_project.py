@@ -128,7 +128,11 @@ def montue(tmp_path_factory):
     prj = Criteria3DProject.load(f"{REF}/Montue/Montue.ini",
                                  meteo_db_path=db_path,
                                  output_dir=str(tmp / "OUT"))
-    prj.initialize()
+    # the mixed-precision production path (same accuracy gates); the 1 m
+    # cells make the storm hours Courant-heavy, and the pure-f64 path more
+    # than doubles this module's runtime for no extra coverage (the f64
+    # solver is oracle-verified in test_reference_parity.py)
+    prj.initialize(fast=True)
     return prj
 
 
