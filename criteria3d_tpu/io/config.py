@@ -87,6 +87,8 @@ class ProjectConfig:
     # [interpolation]
     min_regression_r2: float = 0.1
     interpolation_algorithm: str = "idw"
+    use_thermal_inversion: bool = True   # interpolationSettings.cpp:348
+    max_height_inversion: float = 1000.0
     use_dew_point: bool = True
     # [meteo]
     rainfall_threshold: float = 0.2
@@ -204,6 +206,8 @@ def load_parameters_ini(path: str, cfg: ProjectConfig | None = None) -> ProjectC
                                            cfg.min_regression_r2)
         cfg.interpolation_algorithm = i.get("algorithm",
                                             cfg.interpolation_algorithm)
+        cfg.use_thermal_inversion = i.getboolean("thermalinversion",
+                                                 cfg.use_thermal_inversion)
         cfg.use_dew_point = i.getboolean("usedewpoint", cfg.use_dew_point)
 
     if cp.has_section("meteo"):

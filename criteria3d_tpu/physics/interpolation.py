@@ -27,7 +27,8 @@ from jax import lax
 from criteria3d_tpu.constants import EPSILON, NODATA
 
 __all__ = ["VariableKind", "idw_map", "detrended_idw", "simple_regression",
-           "quality_range_check", "shepard_idw_map"]
+           "quality_range_check", "shepard_idw_map", "OrographyLapse",
+           "regression_orography_t", "orography_trend"]
 
 
 class VariableKind(enum.IntEnum):
@@ -64,6 +65,307 @@ def simple_regression(values, proxy, active=None):
     r2 = jnp.where((sxx > 0) & (syy > 0),
                    (sxy * sxy) / jnp.maximum(sxx * syy, 1e-12), 0.0)
     return slope, intercept, r2
+
+
+# ----------------------------------------------------------------------
+# thermal-inversion orography lapse (regressionOrographyT)
+# ----------------------------------------------------------------------
+
+MIN_REGRESSION_POINTS = 5    # interpolationConstants.h:4
+_DELTAZ_INI = 80.0           # interpolation.cpp:450
+
+
+@dataclasses.dataclass(frozen=True)
+class OrographyLapse:
+    """Fitted piecewise elevation lapse (Crit3DProxy orography state,
+    interpolationSettings.h:40-50): below the inversion top ``h1`` the
+    value increases with height at ``inversion_lapse``; above it decreases
+    at ``slope``. ``valid=False`` means no usable fit (no detrending)."""
+
+    valid: bool = False
+    inversion_significant: bool = False
+    h0: float = 0.0
+    h1: float = 0.0
+    t0: float = 0.0
+    t1: float = 0.0
+    inversion_lapse: float = 0.0
+    slope: float = 0.0
+    r2: float = 0.0
+
+
+def _linreg(x, y):
+    """(intercept q, slope m, r2) — statistics::linearRegression."""
+    import numpy as np
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    if len(x) < 2 or np.ptp(x) == 0.0:
+        return 0.0, 0.0, 0.0
+    mx, my = x.mean(), y.mean()
+    sxx = ((x - mx) ** 2).sum()
+    sxy = ((x - mx) * (y - my)).sum()
+    syy = ((y - my) ** 2).sum()
+    m = sxy / sxx
+    q = my - m * mx
+    r2 = (sxy * sxy) / (sxx * syy) if syy > 0 else 0.0
+    return float(q), float(m), float(r2)
+
+
+def _intersect(q1, m1, q2, m2):
+    """findLinesIntersection (basicMath.cpp:138-152)."""
+    if abs(m1 - m2) < 1e-12:
+        return None
+    x = (q2 - q1) / (m1 - m2)
+    return x, m1 * x + q1
+
+
+def regression_orography_t(heights, values, *, climate_lapse_rate=0.0,
+                           max_height_inversion=1000.0,
+                           min_regression_r2=0.1) -> OrographyLapse:
+    """Thermal-inversion elevation lapse fit for temperature-like
+    variables (regressionOrographyT, interpolation.cpp:433-797).
+
+    Height-interval averages (80 m bands growing exponentially toward the
+    1000 m max inversion height) locate the inversion top; separate
+    regressions below/above it — on raw stations and on the interval
+    averages as fallbacks — produce the piecewise lapse, with the monthly
+    climate lapse rate as last resort. Host-side numpy: a handful of
+    stations, heavy data-dependent branching, run once per hour exactly
+    like the reference's serial fit.
+    """
+    import numpy as np
+
+    z = np.asarray(heights, float)
+    v = np.asarray(values, float)
+    ok = ~np.isclose(v, NODATA) & ~np.isclose(z, NODATA)
+    z, v = z[ok], v[ok]
+
+    sig_r2 = max(min_regression_r2, 0.2)
+    sig_r2_inv = max(min_regression_r2, 0.1)
+    max_inv = max_height_inversion
+
+    def generic():
+        """regressionGeneric (interpolation.cpp:346-365)."""
+        q, m, r2 = _linreg(z, v)
+        return OrographyLapse(valid=r2 >= min_regression_r2,
+                              inversion_significant=False, t0=q, slope=m,
+                              r2=r2)
+
+    if len(z) < MIN_REGRESSION_POINTS or z.max() == z.min():
+        # not enough data to define a curve: climate lapse
+        # (interpolation.cpp:471-473)
+        return OrographyLapse(valid=True, slope=climate_lapse_rate)
+
+    # --- height-interval averages (interpolation.cpp:475-492) ---
+    max_z, h_inf = z.max(), z.min()
+    int_h, int_v = [], []
+    h_sup, dz = h_inf, _DELTAZ_INI
+    guard = 0
+    while h_sup <= max_z and guard < 1000:
+        guard += 1
+        avg = None
+        while avg is None and guard < 1000:
+            h_sup += dz
+            sel = (z >= h_inf) & (z <= h_sup)
+            n = int(sel.sum())
+            if n > 1 or (n > 0 and h_sup >= max_z):
+                avg = float(v[sel].mean())
+            guard += 1
+        if avg is None:
+            break
+        int_h.append(0.5 * (h_sup + h_inf))
+        int_v.append(avg)
+        dz = _DELTAZ_INI * float(np.exp(h_inf / max_inv))
+        h_inf = h_sup
+    if not int_h:
+        return generic()
+
+    # --- find inversion height (interpolation.cpp:494-503) ---
+    h0 = 0.0
+    h1, t1 = int_h[0], int_v[0]
+    inv_sig = False
+    for i in range(1, len(int_v)):
+        if int_h[i] <= max_inv and int_v[i] >= t1 \
+                and int_v[i] > int_v[0] + 0.001 * (int_h[i] - int_h[0]):
+            h1, t1 = int_h[i], int_v[i]
+            inv_sig = True
+
+    if not inv_sig:
+        return generic()
+
+    below = z <= h1
+    z1, v1 = z[below], v[below]
+    z2, v2 = z[~below], v[~below]
+    ih = np.asarray(int_h)
+    iv = np.asarray(int_v)
+    ibelow = ih <= h1
+    ih1, iv1 = ih[ibelow], iv[ibelow]
+    ih2, iv2 = ih[~ibelow], iv[~ibelow]
+
+    # --- only positive lapse rate (interpolation.cpp:539-570) ---
+    if len(iv1) == len(iv):
+        q, m, r2 = _linreg(z, v)
+        if r2 >= sig_r2:
+            return OrographyLapse(valid=True, inversion_significant=True,
+                                  h0=h0, h1=h1, t0=q, t1=q + m * h1,
+                                  inversion_lapse=m,
+                                  slope=climate_lapse_rate, r2=r2)
+        q, m, r2 = _linreg(ih1, iv1)
+        if r2 >= sig_r2:
+            return OrographyLapse(valid=True, inversion_significant=True,
+                                  h0=h0, h1=h1, t0=q, t1=q + m * h1,
+                                  inversion_lapse=m,
+                                  slope=climate_lapse_rate)
+        return OrographyLapse(valid=True, inversion_significant=True,
+                              h0=h0, h1=h1, t0=int_v[0], t1=t1,
+                              inversion_lapse=0.0,
+                              slope=climate_lapse_rate)
+
+    # --- check inversion significance (interpolation.cpp:575-658) ---
+    q1, m1, r2_values = _linreg(z1, v1)
+    if len(iv1) > 2:
+        _, _, r2_intervals = _linreg(ih1, iv1)
+    else:
+        r2_intervals = 0.0
+
+    if r2_values < sig_r2_inv and r2_intervals < sig_r2_inv:
+        # inversion not significant with data nor with intervals
+        q, m, r2 = _linreg(z, v)
+        if r2 >= 0.5:
+            return OrographyLapse(valid=True, t0=q, slope=min(m, 0.0),
+                                  r2=r2)
+        # case 1: analysis only above inversion, flat lapse below
+        if len(v2) >= MIN_REGRESSION_POINTS:
+            q2, m2, r2a = _linreg(z2, v2)
+            if r2a >= sig_r2:
+                slope = min(m2, 0.0)
+                t0 = q2 + h1 * slope
+                return OrographyLapse(valid=True,
+                                      inversion_significant=True,
+                                      h0=h0, h1=h1, t0=t0, t1=t0,
+                                      inversion_lapse=0.0, slope=slope,
+                                      r2=r2a)
+            q2, m2, r2a = _linreg(ih2, iv2)
+            if r2a >= sig_r2:
+                slope = min(m2, 0.0)
+                t0 = q2 + h1 * slope
+                return OrographyLapse(valid=True,
+                                      inversion_significant=True,
+                                      h0=h0, h1=h1, t0=t0, t1=t0,
+                                      inversion_lapse=0.0, slope=slope,
+                                      r2=r2a)
+        # case 2: regression with all data
+        if r2 >= sig_r2:
+            return OrographyLapse(valid=True, t0=q, slope=min(m, 0.0),
+                                  r2=r2)
+        return OrographyLapse(valid=True, t0=int_v[0],
+                              slope=0.0 if m > 0 else climate_lapse_rate)
+
+    # --- significance analysis (interpolation.cpp:660-788) ---
+    q1, m1, r21 = _linreg(z1, v1)
+    q2, m2, r22 = _linreg(z2, v2)
+    if m1 <= 0:
+        r21 = 0.0
+
+    def clamp_inv(h1_, t1_, t0_, lapse_, slope_):
+        """max-inversion-height clamp (interpolation.cpp:682-687)."""
+        if h1_ > max_inv:
+            t1_ = t1_ - (h1_ - max_inv) * slope_
+            h1_ = max_inv
+            lapse_ = (t1_ - t0_) / (h1_ - h0)
+        return h1_, t1_, lapse_
+
+    if r21 >= sig_r2_inv and r22 >= sig_r2:
+        if len(z2) < MIN_REGRESSION_POINTS and m2 > 0.0:
+            m2, q2 = 0.0, t1
+        cross = _intersect(q1, m1, q2, m2)
+        if cross is not None:
+            x, y = cross
+            h1_, t1_, lapse_ = clamp_inv(x, y, q1, m1, m2)
+            return OrographyLapse(valid=True, inversion_significant=True,
+                                  h0=h0, h1=h1_, t0=q1, t1=t1_,
+                                  inversion_lapse=lapse_, slope=m2, r2=r22)
+    elif r21 < sig_r2_inv and r22 >= sig_r2:
+        if len(z2) < MIN_REGRESSION_POINTS and m2 > 0.0:
+            m2, q2 = 0.0, t1
+        q, m, r2i = _linreg(ih1, iv1)
+        if r2i >= sig_r2_inv:
+            cross = _intersect(q, m, q2, m2)
+            if cross is not None and cross[0] > 40.0:
+                x, y = cross
+                h1_, t1_, lapse_ = clamp_inv(x, y, q, m, m2)
+                return OrographyLapse(valid=True,
+                                      inversion_significant=True,
+                                      h0=h0, h1=h1_, t0=q, t1=t1_,
+                                      inversion_lapse=lapse_, slope=m2,
+                                      r2=r22)
+        else:
+            t1_ = q2 + m2 * h1
+            return OrographyLapse(valid=True, inversion_significant=True,
+                                  h0=h0, h1=h1, t0=t1_, t1=t1_,
+                                  inversion_lapse=0.0, slope=m2, r2=r22)
+    elif r21 >= sig_r2_inv and r22 < sig_r2:
+        q, m, r2i = _linreg(ih2, iv2)
+        if r2i >= sig_r2:
+            slope = min(m, 0.0)
+            cross = _intersect(q1, m1, q, slope)
+            if cross is not None:
+                x, y = cross
+                return OrographyLapse(valid=True,
+                                      inversion_significant=True,
+                                      h0=h0, h1=x, t0=q1, t1=y,
+                                      inversion_lapse=m1, slope=slope,
+                                      r2=r22)
+        else:
+            slope = climate_lapse_rate
+            cross = _intersect(q1, m1, t1 - slope * h1, slope)
+            if cross is not None:
+                x, y = cross
+                return OrographyLapse(valid=True,
+                                      inversion_significant=True,
+                                      h0=h0, h1=x, t0=q1, t1=y,
+                                      inversion_lapse=m1, slope=slope,
+                                      r2=r22)
+    else:
+        q, m, r2i = _linreg(ih1, iv1)
+        if r2i >= sig_r2_inv:
+            t0_, lapse_, t1_ = q, m, q + m * h1
+        else:
+            t0_, lapse_, t1_ = int_v[0], 0.0, int_v[0]
+        q, m, r2i2 = _linreg(ih2, iv2)
+        if r2i2 >= sig_r2:
+            slope = min(m, 0.0)
+            cross = _intersect(t0_, lapse_, q, slope)
+            if cross is not None and cross[0] > 40.0:
+                x, y = cross
+                return OrographyLapse(valid=True,
+                                      inversion_significant=True,
+                                      h0=h0, h1=x, t0=t0_, t1=y,
+                                      inversion_lapse=lapse_, slope=slope,
+                                      r2=r22)
+        else:
+            return OrographyLapse(valid=True, inversion_significant=True,
+                                  h0=h0, h1=h1, t0=t0_, t1=t1_,
+                                  inversion_lapse=lapse_,
+                                  slope=climate_lapse_rate, r2=r22)
+
+    # fall-through: plain regression on everything
+    # (interpolation.cpp:790-796)
+    return generic()
+
+
+def orography_trend(lapse: OrographyLapse, z):
+    """Detrend/retrend value of the piecewise lapse at height z
+    (detrendPoints height branch, interpolation.cpp:1255-1274; retrend
+    :1330-1343). Works on numpy or jnp arrays."""
+    xp = jnp if isinstance(z, jax.Array) else __import__("numpy")
+    if not lapse.valid:
+        return xp.zeros_like(z)
+    if lapse.inversion_significant:
+        below = xp.maximum(z - lapse.h0, 0.0) * lapse.inversion_lapse
+        above = (lapse.h1 - lapse.h0) * lapse.inversion_lapse \
+            + (z - lapse.h1) * lapse.slope
+        return xp.where(z <= lapse.h1, below, above)
+    return xp.maximum(z, 0.0) * lapse.slope
 
 
 def idw_map(station_x, station_y, station_value, grid_x, grid_y,
@@ -110,6 +412,7 @@ def detrended_idw(station_x, station_y, station_z, station_value,
                   min_regression_r2: float = 0.1,
                   rainfall_threshold: float = 0.2,
                   extra_station_proxies=(), extra_grid_proxies=(),
+                  elevation_lapse: OrographyLapse | None = None,
                   active=None):
     """Detrended IDW of one variable onto the DEM.
 
@@ -119,6 +422,12 @@ def detrended_idw(station_x, station_y, station_z, station_value,
     3. IDW the residuals;
     4. add the trends back at the grid cells (retrend);
     5. variable-specific clamping.
+
+    ``elevation_lapse`` (an :class:`OrographyLapse` from
+    :func:`regression_orography_t`) replaces the simple linear elevation
+    regression with the thermal-inversion piecewise lapse — the
+    useThermalInversion path of the reference (retrend,
+    interpolation.cpp:1330-1343).
 
     Returns ``(map, ProxyResult for elevation)``.
     """
@@ -144,6 +453,17 @@ def detrended_idw(station_x, station_y, station_z, station_value,
     detrendable = kind in (VariableKind.TEMPERATURE, VariableKind.GENERIC,
                            VariableKind.RELATIVE_HUMIDITY)
     for i, (sp, gp) in enumerate(proxies):
+        if i == 0 and elevation_lapse is not None and detrendable:
+            # thermal-inversion piecewise lapse for the elevation proxy
+            trend_st = orography_trend(elevation_lapse, sp)
+            residual = jnp.where(ok, residual - trend_st, NODATA)
+            trend_grid = trend_grid + orography_trend(elevation_lapse, gp)
+            elev_result = ProxyResult(
+                jnp.asarray(elevation_lapse.slope, jnp.float64),
+                jnp.asarray(0.0, jnp.float64),
+                jnp.asarray(elevation_lapse.r2, jnp.float64),
+                jnp.asarray(elevation_lapse.valid))
+            continue
         slope, intercept, r2 = simple_regression(residual, sp, ok)
         significant = r2 >= min_regression_r2
         if not detrendable:

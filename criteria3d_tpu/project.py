@@ -375,6 +375,28 @@ class Criteria3DProject:
         return (np.asarray(xs), np.asarray(ys), np.asarray(zs),
                 np.asarray(vs))
 
+    def _thermal_lapse(self, var: MeteoVariable, when: datetime.datetime,
+                       zs, vs, active):
+        """Thermal-inversion elevation lapse for temperature-like
+        variables (regressionOrographyT via regressionOrography,
+        interpolation.cpp:1354-1369), with the monthly climate lapse rate
+        as fallback slope. None when thermal inversion is disabled."""
+        if not self.config.use_thermal_inversion:
+            return None
+        from criteria3d_tpu.physics.interpolation import \
+            regression_orography_t
+        clim = NODATA
+        if self.climate is not None:
+            clim = self.climate.lapse_rate(var, when.month, when.day,
+                                           when.hour)
+        if clim == NODATA:
+            clim = -0.006     # DEFAULT_LAPSERATE (meteo.cpp:186)
+        return regression_orography_t(
+            np.where(active, zs, NODATA), np.where(active, vs, NODATA),
+            climate_lapse_rate=clim,
+            max_height_inversion=self.config.max_height_inversion,
+            min_regression_r2=self.config.min_regression_r2)
+
     def interpolate_variable(self, var: MeteoVariable,
                              when: datetime.datetime):
         """One variable onto the DEM: gross QC -> spatial QC -> detrended
@@ -391,6 +413,9 @@ class Criteria3DProject:
                 xs, ys, zs, np.where(active, vs, NODATA), kind=kind))
             if ok.any():
                 active = active & ok
+        lapse = None
+        if kind == VariableKind.TEMPERATURE:
+            lapse = self._thermal_lapse(var, when, zs, vs, active)
         gx, gy = self._grid_xy
         gz = jnp.asarray(np.where(np.isclose(self.dem, self.header.nodata),
                                   0.0, self.dem))
@@ -398,6 +423,7 @@ class Criteria3DProject:
             xs, ys, zs, vs, gx, gy, gz, kind=kind,
             min_regression_r2=self.config.min_regression_r2,
             rainfall_threshold=self.config.rainfall_threshold,
+            elevation_lapse=lapse,
             active=jnp.asarray(active))
         return result
 
@@ -459,10 +485,13 @@ class Criteria3DProject:
                 gx, gy = self._grid_xy
                 gz = jnp.asarray(np.where(
                     np.isclose(self.dem, self.header.nodata), 0.0, self.dem))
+                td_lapse = self._thermal_lapse(
+                    MeteoVariable.AIR_DEW_TEMPERATURE, when, zs, td_st, ok)
                 td_map, _ = detrended_idw(
                     xs, ys, zs, td_st, gx, gy, gz,
                     kind=VariableKind.TEMPERATURE,
                     min_regression_r2=cfg.min_regression_r2,
+                    elevation_lapse=td_lapse,
                     active=jnp.asarray(ok))
                 rh = meteo_mod.rh_from_dew_point(t_map, td_map)
         if rh is None:

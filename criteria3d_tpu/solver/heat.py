@@ -843,6 +843,10 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
     c_down = (a_down * wf + adv_down) * inv_diag
     c_lat = (a_lat * wf + adv_lat) * inv_diag[None]
     b_p = b * inv_diag
+    # materialize the assembled system before the sweep loop (see the
+    # barrier note in solver/step.py:_jacobi_solve)
+    b_p, c_up, c_down, c_lat = lax.optimization_barrier(
+        (b_p, c_up, c_down, c_lat))
 
     # Jacobi iterations with the reference budget (max approx -> full budget)
     max_iter = params.max_iterations_for(params.max_approximations - 1)

@@ -100,6 +100,14 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
         sweep_sys = system
         x_init = x0
 
+    # Force the assembled stencil to MATERIALIZE before the sweep loop.
+    # Without this barrier XLA may fuse the (transcendental-heavy) assembly
+    # chain into the while-loop body and recompute it on every sweep —
+    # observed as a ~20x whole-program slowdown on TPU. (The Pallas path
+    # gets the same effect for free: pallas_call operands cannot be fused
+    # into.)
+    sweep_sys, x_init = lax.optimization_barrier((sweep_sys, x_init))
+
     if params.inner_solver == "cg":
         x, diverged = _cg_solve(sweep_sys, x_init, grid, params,
                                 max_iter, tol, psi_form=fast)

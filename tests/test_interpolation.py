@@ -122,3 +122,98 @@ def test_spatial_quality_control_flags_outlier():
     ok = np.asarray(ok)
     assert not ok[7]                  # outlier rejected
     assert ok.sum() >= n - 3          # healthy stations accepted
+
+
+# ----------------------------------------------------------------------
+# thermal-inversion orography lapse (regressionOrographyT,
+# interpolation.cpp:433-797)
+# ----------------------------------------------------------------------
+
+def test_orography_lapse_clean_decrease():
+    """Monotone cooling with height: generic linear fit, no inversion."""
+    from criteria3d_tpu.physics.interpolation import (orography_trend,
+                                                      regression_orography_t)
+    rng = np.random.default_rng(7)
+    z = rng.uniform(100.0, 1500.0, 25)
+    t = 22.0 - 0.0065 * z + rng.normal(0.0, 0.1, 25)
+    lapse = regression_orography_t(z, t, climate_lapse_rate=-0.006)
+    assert lapse.valid
+    assert not lapse.inversion_significant
+    assert lapse.slope == pytest.approx(-0.0065, abs=5e-4)
+    trend = orography_trend(lapse, np.asarray([500.0, 1000.0]))
+    assert trend[1] - trend[0] == pytest.approx(-0.0065 * 500.0, abs=0.3)
+
+
+def test_orography_lapse_detects_inversion():
+    """Cold valley floor under an inversion at ~400 m: the piecewise fit
+    must warm with height below the inversion top and cool above it."""
+    from criteria3d_tpu.physics.interpolation import (orography_trend,
+                                                      regression_orography_t)
+    rng = np.random.default_rng(3)
+    z_low = rng.uniform(50.0, 400.0, 12)
+    z_high = rng.uniform(450.0, 1600.0, 12)
+    t_low = 2.0 + 0.008 * z_low + rng.normal(0.0, 0.15, 12)
+    t_high = 5.2 + 0.008 * 400.0 - 0.0065 * (z_high - 400.0) \
+        + rng.normal(0.0, 0.15, 12) - 3.2
+    z = np.concatenate([z_low, z_high])
+    t = np.concatenate([t_low, t_high])
+    lapse = regression_orography_t(z, t, climate_lapse_rate=-0.006)
+    assert lapse.valid
+    assert lapse.inversion_significant
+    assert 200.0 <= lapse.h1 <= 800.0
+    assert lapse.inversion_lapse > 0.0
+    assert lapse.slope <= 0.0
+
+    zz = np.asarray([100.0, lapse.h1, 1500.0])
+    trend = orography_trend(lapse, zz)
+    assert trend[1] > trend[0]            # warming below the inversion top
+    assert trend[2] < trend[1]            # cooling above it
+
+
+def test_orography_lapse_few_stations_uses_climate():
+    from criteria3d_tpu.physics.interpolation import (orography_trend,
+                                                      regression_orography_t)
+    z = np.asarray([100.0, 300.0, 700.0])
+    t = np.asarray([10.0, 9.0, 7.0])
+    lapse = regression_orography_t(z, t, climate_lapse_rate=-0.0051)
+    assert lapse.valid and not lapse.inversion_significant
+    assert lapse.slope == pytest.approx(-0.0051)
+    trend = orography_trend(lapse, np.asarray([0.0, 1000.0]))
+    assert trend[1] == pytest.approx(-5.1)
+
+
+def test_detrended_idw_with_inversion_lapse():
+    """detrended_idw(elevation_lapse=...) reproduces a piecewise-lapse
+    temperature field including the warm belt."""
+    from criteria3d_tpu.physics.interpolation import regression_orography_t
+
+    n = 16
+    gx, gy = grid_coords(n)
+    rng = np.random.default_rng(11)
+    # synthetic DEM: a valley (z from 100 to 1200 m across the grid)
+    gz = jnp.asarray(100.0 + 1100.0 * np.linspace(0, 1, n)[None, :]
+                     * np.ones((n, 1)))
+
+    sx = rng.uniform(0.0, (n - 1) * 100.0, 20)
+    sy = rng.uniform(0.0, (n - 1) * 100.0, 20)
+    sz = 100.0 + 1100.0 * sx / ((n - 1) * 100.0)
+
+    def true_t(z):
+        return np.where(z <= 400.0, 1.0 + 0.01 * z,
+                        1.0 + 0.01 * 400.0 - 0.0065 * (z - 400.0))
+
+    sv = true_t(sz)
+    lapse = regression_orography_t(sz, sv, climate_lapse_rate=-0.006)
+    assert lapse.inversion_significant
+
+    result, pr = detrended_idw(sx, sy, sz, sv, gx, gy, gz,
+                               kind=VariableKind.TEMPERATURE,
+                               elevation_lapse=lapse)
+    got = np.asarray(result)
+    want = true_t(np.asarray(gz))
+    err = np.abs(got - want)
+    assert err.mean() < 0.35
+    # the warm belt exists: mid-elevation cells warmer than the valley floor
+    floor = got[:, 0].mean()
+    belt_col = int(np.argmin(np.abs(np.asarray(gz)[0] - 400.0)))
+    assert got[:, belt_col].mean() > floor + 1.0
