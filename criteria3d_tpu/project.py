@@ -297,9 +297,13 @@ class Criteria3DProject:
         self.params = cfg.solver_parameters(self.header.cellsize)
         if fast:
             # f32 cannot resolve the accuracy rule's 1e-10 residual; the
-            # sweep loop clamps its tolerance to 1e-7 (solver/step.py)
-            self.params = dataclasses.replace(self.params,
-                                              sweep_dtype=jnp.float32)
+            # sweep loop clamps its tolerance to 1e-7 (solver/step.py).
+            # On TPU the Pallas bundled-sweep kernel is the default fast
+            # path (tests run on CPU where Pallas is unavailable).
+            import jax as _jax
+            self.params = dataclasses.replace(
+                self.params, sweep_dtype=jnp.float32,
+                use_pallas=_jax.default_backend() == "tpu")
 
         mconfig = ModelConfig(
             latitude=cfg.latitude, longitude=cfg.longitude,

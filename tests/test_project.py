@@ -128,11 +128,7 @@ def montue(tmp_path_factory):
     prj = Criteria3DProject.load(f"{REF}/Montue/Montue.ini",
                                  meteo_db_path=db_path,
                                  output_dir=str(tmp / "OUT"))
-    # the mixed-precision production path (same accuracy gates); the 1 m
-    # cells make the storm hours Courant-heavy, and the pure-f64 path more
-    # than doubles this module's runtime for no extra coverage (the f64
-    # solver is oracle-verified in test_reference_parity.py)
-    prj.initialize(fast=True)
+    prj.initialize()
     return prj
 
 
