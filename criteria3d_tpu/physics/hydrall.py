@@ -24,6 +24,7 @@ aerodynamic coupling currently uses a constant boundary-layer conductance
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -217,6 +218,7 @@ def farquhar_parameters(leaf_t_k, absorbed_par, lai, kb, kd_par,
                 rd=rd, gsc_min=gs_min * scale)
 
 
+@functools.partial(jax.jit, static_argnames=("n_iter",))
 def photosynthesis_kernel(params, *, co2_pa, vpd_pa, pressure_pa, air_temp_c,
                           rni, slope_sat_vp, psychro_pa,
                           gac=0.5, ghr=0.5, stress=1.0, mi=9.31,

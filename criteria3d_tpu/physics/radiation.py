@@ -19,9 +19,12 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from criteria3d_tpu.constants import DEG_TO_RAD, RAD_TO_DEG, NODATA
 from criteria3d_tpu.physics.meteo import pressure_from_altitude
@@ -301,6 +304,37 @@ def transmissivity_from_measured(observed_rad, potential_rad,
 # DEM shadowing
 # ----------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def _shadow_ray_march(z, sin_az, cos_az, step_z, max_steps: int):
+    """Up-sun ray march with the sun direction as TRACED scalars.
+
+    One compiled program serves every hour of every day: with static
+    per-step integer shifts (the previous formulation) XLA recompiled
+    ~2x max_steps shift programs per distinct sun azimuth — i.e. every
+    simulated hour — which dominated whole-project runtimes.
+    """
+    R, C = z.shape
+    rows = jnp.arange(R)[:, None]
+    cols = jnp.arange(C)[None, :]
+
+    def body(shadowed, k):
+        kf = k.astype(z.dtype)
+        # azimuth 0 = north = row-1 direction; x east = +col, y north = -row
+        dc = jnp.round(kf * sin_az).astype(jnp.int32)
+        dr = jnp.round(-kf * cos_az).astype(jnp.int32)
+        zk = jnp.roll(z, shift=(-dr, -dc), axis=(0, 1))
+        inside = (rows + dr >= 0) & (rows + dr < R) \
+            & (cols + dc >= 0) & (cols + dc < C)
+        zk = jnp.where(inside, zk, -1e9)
+        los = z + kf * step_z
+        hit = (zk - los > 0.5) & ~((dr == 0) & (dc == 0))
+        return shadowed | hit, None
+
+    shadowed, _ = lax.scan(body, jnp.zeros(z.shape, bool),
+                           jnp.arange(1, max_steps + 1))
+    return shadowed
+
+
 def shadow_map(dem, valid, cell_size, azimuth_deg, elevation_deg,
                max_steps: int = 128):
     """Boolean (R, C) map: True where the cell is shadowed by terrain.
@@ -314,28 +348,17 @@ def shadow_map(dem, valid, cell_size, azimuth_deg, elevation_deg,
     azimuth_deg / elevation_deg are map-averaged scalars (across a catchment
     the sun direction varies by < 0.01 deg).
     """
-    az = float(azimuth_deg) * math.pi / 180.0
     elev = float(elevation_deg) * math.pi / 180.0
     if elev <= 0:
         return jnp.ones_like(valid, dtype=bool) & valid
 
-    sin_az, cos_az = math.sin(az), math.cos(az)
-    tan_elev = math.tan(max(elev, 1e-6))
-    step_z = cell_size * tan_elev
-
+    az = float(azimuth_deg) * math.pi / 180.0
+    step_z = cell_size * math.tan(max(elev, 1e-6))
     z = jnp.where(valid, dem, -1e9)
-    z0 = z
-    shadowed = jnp.zeros_like(valid, dtype=bool)
-    # azimuth 0 = north = row-1 direction; x east = +col, y north = -row
-    for k in range(1, max_steps + 1):
-        dc = int(round(k * sin_az))
-        dr = int(round(-k * cos_az))
-        if dc == 0 and dr == 0:
-            continue
-        from criteria3d_tpu.solver.shifts import shift2d
-        zk = shift2d(z, dr, dc, fill=-1e9)
-        los = z0 + k * step_z
-        shadowed = shadowed | (zk - los > 0.5)
+    shadowed = _shadow_ray_march(
+        z, jnp.asarray(math.sin(az), z.dtype),
+        jnp.asarray(math.cos(az), z.dtype),
+        jnp.asarray(step_z, z.dtype), max_steps)
     return shadowed & valid
 
 
