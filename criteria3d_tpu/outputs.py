@@ -164,9 +164,14 @@ class OutputPoints:
 
 def write_output_rasters(out_dir: str, time_tag: str, grid: Grid,
                          params: SolverParameters, water: WaterState,
-                         variables: dict[OutputVariable, list[int]]) -> list[str]:
+                         variables: dict[OutputVariable, list[int]],
+                         writer=None) -> list[str]:
     """Write one ESRI raster per (variable, depth), named
-    ``<var>_<depthCm>_<time>`` like the reference's hourly output maps."""
+    ``<var>_<depthCm>_<time>`` like the reference's hourly output maps.
+
+    ``writer`` (a :class:`criteria3d_tpu.native.AsyncRasterWriter`) queues
+    the file IO onto the native worker pool so it overlaps the next hour's
+    accelerator compute; without one the writes are synchronous."""
     os.makedirs(out_dir, exist_ok=True)
     R, C = grid.shape[1:]
     hdr = RasterHeader(nrows=R, ncols=C, xllcorner=0, yllcorner=0,
@@ -177,6 +182,9 @@ def write_output_rasters(out_dir: str, time_tag: str, grid: Grid,
             layer = layer_index_for_depth(grid, d) if d > 0 else 0
             vmap = compute_variable_map(grid, params, water, var, layer)
             path = os.path.join(out_dir, f"{var.value}_{d}_{time_tag}")
-            write_flt(path, vmap, hdr)
+            if writer is not None:
+                writer.submit(path, np.asarray(vmap), hdr)
+            else:
+                write_flt(path, vmap, hdr)
             written.append(path + ".flt")
     return written

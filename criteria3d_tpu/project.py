@@ -95,6 +95,8 @@ class Criteria3DProject:
     # per-station last good transmissivity (persists across night hours)
     _station_trans: dict = dataclasses.field(default_factory=dict)
     _grid_xy: tuple | None = None
+    # native async raster-output worker pool (criteria3d_tpu.native)
+    _raster_writer: object | None = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -548,9 +550,15 @@ class Criteria3DProject:
             if variables:
                 raster_dir = os.path.join(self.output_dir, "rasters",
                                           when.strftime("%Y%m%d"))
+                if self._raster_writer is None:
+                    # native C++ worker pool: raster IO overlaps the next
+                    # hour's accelerator compute (sync fallback inside)
+                    from criteria3d_tpu.native import AsyncRasterWriter
+                    self._raster_writer = AsyncRasterWriter(n_threads=2)
                 write_output_rasters(raster_dir, time_tag, self.grid,
                                      self.params, self.model.water,
-                                     variables)
+                                     variables,
+                                     writer=self._raster_writer)
             if self.output_points is not None and self.output_points.ids:
                 db_path = self.config.output_db_path or \
                     os.path.join(self.output_dir, "outputPoints.db")
@@ -583,7 +591,13 @@ class Criteria3DProject:
                 self.model.daily_update(t_min, t_max, date=when.date())
                 t_min = t_max = None
             log.append(dict(time=str(when), mbr=out["mbr"]))
+        self.flush_outputs()
         return log
+
+    def flush_outputs(self) -> None:
+        """Drain the async raster-writer queue (no-op when unused)."""
+        if self._raster_writer is not None:
+            self._raster_writer.flush()
 
 
 def _with_raster_ext(path: str) -> str:
