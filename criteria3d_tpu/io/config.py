@@ -32,7 +32,14 @@ def _read_ini(path: str) -> configparser.ConfigParser:
     cp = configparser.ConfigParser(inline_comment_prefixes=("#", ";"))
     cp.optionxform = str.lower
     with open(path) as f:
-        cp.read_string(f.read())
+        text = f.read()
+    # optionxform lowercases OPTION names only; section headers like
+    # [soilWaterFluxes] must be normalised too or has_section() misses them
+    import re
+    text = re.sub(r"^\s*\[([^\]]+)\]",
+                  lambda m: "[" + m.group(1).strip().lower() + "]",
+                  text, flags=re.M)
+    cp.read_string(text)
     return cp
 
 
@@ -101,6 +108,8 @@ class ProjectConfig:
         import dataclasses as _dc
         p = SolverParameters.from_model_accuracy(self.model_accuracy,
                                                  cell_size)
+        p = _dc.replace(
+            p, lateral_vertical_ratio=self.conductivity_horiz_vert_ratio)
         if self.compute_heat:
             # the reference app enables vapor+advection with heat
             # (initializeSF3D flags, project3D.cpp:546)

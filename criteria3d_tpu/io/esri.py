@@ -195,12 +195,18 @@ def read_raster(path: str) -> tuple[np.ndarray, RasterHeader]:
         return read_envi(path)
     if path.endswith((".flt", ".hdr")):
         return read_flt(path)
+    if path.endswith((".tif", ".tiff")):
+        from criteria3d_tpu.io.geotiff import read_geotiff
+        return read_geotiff(path)
     if os.path.exists(path + ".flt"):
         return read_flt(path)
     if os.path.exists(path + ".img"):
         return read_envi(path)
     if os.path.exists(path + ".asc"):
         return read_asc(path)
+    if os.path.exists(path + ".tif"):
+        from criteria3d_tpu.io.geotiff import read_geotiff
+        return read_geotiff(path + ".tif")
     raise FileNotFoundError(path)
 
 

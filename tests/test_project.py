@@ -138,8 +138,10 @@ def test_montue_load(montue):
     # 14547 valid DEM cells (MAPS/DEM_Montue: 123x194 @ 1 m)
     assert g.n_surface_nodes == 14547
     assert g.n_layers > 10
-    # soil profile reaches the 1.45 m Montue total depth
-    assert 1.3 < g.layer_depth[-1] + g.layer_thickness[-1] / 2 < 1.5
+    # computation depth follows the project's own parameters.ini:
+    # computeAllSoilDepth=false, imposedComputationDepth=1 (the soil DB's
+    # 1.45 m profile is clipped to 1.0 m, project3D.cpp:497-516)
+    assert 0.95 < g.layer_depth[-1] + g.layer_thickness[-1] / 2 < 1.05
     # [output] ini lists parsed into output variables
     ov = montue.output_variables()
     assert len(ov) == 3
