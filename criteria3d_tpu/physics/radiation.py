@@ -319,9 +319,14 @@ def _shadow_ray_march(z, sin_az, cos_az, step_z, max_steps: int):
 
     def body(shadowed, k):
         kf = k.astype(z.dtype)
-        # azimuth 0 = north = row-1 direction; x east = +col, y north = -row
-        dc = jnp.round(kf * sin_az).astype(jnp.int32)
-        dr = jnp.round(-kf * cos_az).astype(jnp.int32)
+        # azimuth 0 = north = row-1 direction; x east = +col, y north = -row.
+        # floor(x + 0.5) (round-half-up), matching the reference's
+        # real-coordinate march + getRowCol cell-centre lookup
+        # (computeShadow, solarRadiation.cpp:547-617) — jnp.round would
+        # round half-to-even and systematically pick different cells on
+        # diagonal rays
+        dc = jnp.floor(kf * sin_az + 0.5).astype(jnp.int32)
+        dr = jnp.floor(-kf * cos_az + 0.5).astype(jnp.int32)
         zk = jnp.roll(z, shift=(-dr, -dc), axis=(0, 1))
         inside = (rows + dr >= 0) & (rows + dr < R) \
             & (cols + dc >= 0) & (cols + dc < C)
