@@ -56,6 +56,7 @@ class Shell:
         self.cell_size = None
         self.stations = []
         self.meteo_grid = None
+        self.fast = False         # mixed-precision production path (FAST)
         self._log_file = None
 
     def _print(self, msg: str):
@@ -89,6 +90,8 @@ class Shell:
                 self._cmd_log(args)
             elif cmd in ("INITIALIZE", "INIT"):
                 self._cmd_initialize()
+            elif cmd == "FAST":
+                self._cmd_fast(args)
             elif cmd == "RUN":
                 self._cmd_run(args)
             elif cmd in ("DAILYCSV", "HOURLYCSV"):
@@ -176,9 +179,18 @@ class Shell:
         self._log_file = args[0]
         self._print(f"Logging to {args[0]}")
 
+    def _cmd_fast(self, args):
+        """FAST [ON|OFF]: toggle the mixed-precision f32-sweep production
+        path (the reference shell's GPU-solver/SETTHREADNR analogue; takes
+        effect at the next INITIALIZE)."""
+        if args:
+            self.fast = args[0].upper() in ("ON", "1", "TRUE")
+        self._print(f"fast mode: {'ON' if self.fast else 'OFF'}"
+                    + ("" if self.model is None else "  (re-run INITIALIZE)"))
+
     def _cmd_initialize(self):
         if self.project is not None:
-            self.project.initialize()
+            self.project.initialize(fast=self.fast)
             self.grid = self.project.grid
             self.params = self.project.params
             self.model = self.project.model
@@ -199,6 +211,12 @@ class Shell:
                                        if cfg else 1.0))
         params = (cfg.solver_parameters(self.cell_size) if cfg
                   else SolverParameters())
+        if self.fast:
+            import dataclasses as _dc
+            import jax as _jax
+            import jax.numpy as _jnp
+            params = _dc.replace(params, sweep_dtype=_jnp.float32,
+                                 use_pallas=_jax.default_backend() == "tpu")
         mconfig = ModelConfig(
             latitude=cfg.latitude if cfg else 44.5,
             longitude=cfg.longitude if cfg else 11.3)
