@@ -36,6 +36,7 @@ _PLANAR, _PREDICTOR = 284, 317
 _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 _SAMPLE_FMT = 339
 _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT = 33550, 33922
+_MODEL_TRANSFORMATION = 34264
 _GDAL_NODATA = 42113
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
@@ -241,17 +242,32 @@ def read_geotiff(path: str) -> tuple[np.ndarray, RasterHeader]:
     values = np.where(np.isclose(values, nodata) | ~np.isfinite(values),
                       -9999.0, values)
 
-    # georeferencing: pixel scale + tiepoint (north-up)
+    # georeferencing: pixel scale + tiepoint (north-up), or an axis-aligned
+    # ModelTransformation matrix (the alternative GDAL output style)
     sx = sy = 1.0
     origin_x = origin_y = 0.0
-    if _MODEL_PIXEL_SCALE in t:
-        ps = t[_MODEL_PIXEL_SCALE]
-        sx, sy = float(ps[0]), float(ps[1])
-    if _MODEL_TIEPOINT in t:
-        tp = t[_MODEL_TIEPOINT]
-        # raster point (I,J,K) -> model (X,Y,Z); standard (0,0) upper-left
-        origin_x = float(tp[3]) - float(tp[0]) * sx
-        origin_y = float(tp[4]) + float(tp[1]) * sy
+    if _MODEL_PIXEL_SCALE in t or _MODEL_TIEPOINT in t:
+        if _MODEL_PIXEL_SCALE in t:
+            ps = t[_MODEL_PIXEL_SCALE]
+            sx, sy = float(ps[0]), float(ps[1])
+        if _MODEL_TIEPOINT in t:
+            tp = t[_MODEL_TIEPOINT]
+            # raster point (I,J,K) -> model (X,Y,Z); standard (0,0) upper-left
+            origin_x = float(tp[3]) - float(tp[0]) * sx
+            origin_y = float(tp[4]) + float(tp[1]) * sy
+    elif _MODEL_TRANSFORMATION in t:
+        # 4x4 row-major matrix: X = m[0]*col + m[1]*row + m[3],
+        #                       Y = m[4]*col + m[5]*row + m[7]
+        m = [float(v) for v in t[_MODEL_TRANSFORMATION]]
+        if m[1] != 0.0 or m[4] != 0.0:
+            raise ValueError(f"{path}: rotated ModelTransformation "
+                             "unsupported (non-axis-aligned georeferencing)")
+        sx, sy = m[0], -m[5]
+        origin_x, origin_y = m[3], m[7]
+        if sx <= 0 or sy <= 0:
+            raise ValueError(f"{path}: unsupported axis orientation in "
+                             f"ModelTransformation (scale {m[0]} x {m[5]})")
+    # plain (ungeoreferenced) TIFFs keep the 1.0 / (0,0) defaults
     header = RasterHeader(
         nrows=height, ncols=width,
         xllcorner=origin_x,
@@ -267,6 +283,9 @@ def write_geotiff(path: str, values: np.ndarray, header: RasterHeader) -> None:
     arr = np.ascontiguousarray(np.asarray(values, dtype="<f4"))
     R, C = arr.shape
     pixel_data = arr.tobytes()
+    if len(pixel_data) >= 2 ** 32:
+        raise ValueError(f"raster {R}x{C} exceeds the 4 GB classic-TIFF "
+                         "limit (BigTIFF writing not supported)")
     nodata_ascii = f"{header.nodata}\0".encode()
 
     entries = []       # (tag, type, count, value_bytes)
@@ -275,14 +294,14 @@ def write_geotiff(path: str, values: np.ndarray, header: RasterHeader) -> None:
         entries.append((tag, typ, count, packed))
 
     le = struct.pack
-    entry(_W, 3, 1, le("<H", C) + b"\0\0")
-    entry(_H, 3, 1, le("<H", R) + b"\0\0")
+    entry(_W, 4, 1, le("<I", C))
+    entry(_H, 4, 1, le("<I", R))
     entry(_BITS, 3, 1, le("<H", 32) + b"\0\0")
     entry(_COMP, 3, 1, le("<H", 1) + b"\0\0")
     entry(_PHOTO, 3, 1, le("<H", 1) + b"\0\0")
     entry(_STRIP_OFF, 4, 1, None)               # patched below
     entry(_SPP, 3, 1, le("<H", 1) + b"\0\0")
-    entry(_ROWS_PER_STRIP, 3, 1, le("<H", min(R, 65535)) + b"\0\0")
+    entry(_ROWS_PER_STRIP, 4, 1, le("<I", R))
     entry(_STRIP_CNT, 4, 1, le("<I", len(pixel_data)))
     entry(_SAMPLE_FMT, 3, 1, le("<H", 3) + b"\0\0")
     scale = struct.pack("<3d", header.cellsize, header.cellsize, 0.0)

@@ -70,7 +70,16 @@ struct Writer {
                 queue.pop_front();
             }
             write(job);
-            if (--in_flight == 0) cv_done.notify_all();
+            // Decrement under the mutex: flush() checks its predicate while
+            // holding mu, so notifying without the lock could slip between
+            // the check and the sleep and the wakeup would be lost (flush /
+            // destroy hanging at end of run).
+            int remaining;
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                remaining = --in_flight;
+            }
+            if (remaining == 0) cv_done.notify_all();
         }
     }
 

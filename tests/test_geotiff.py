@@ -104,3 +104,66 @@ def test_project_loader_reads_tif(tmp_path, header):
     vals, hdr = read_raster(path)
     assert (vals == 42.0).all()
     assert hdr.cellsize == pytest.approx(50.0)
+
+
+def test_model_transformation_georef(tmp_path, header):
+    """An axis-aligned ModelTransformation (tag 34264) — the alternative
+    GDAL output style — must yield the same georeferencing as
+    PixelScale+Tiepoint; a rotated matrix must raise."""
+    import struct
+    from criteria3d_tpu.io.geotiff import _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT
+
+    data = np.arange(12.0, dtype=np.float32).reshape(3, 4)
+    path = str(tmp_path / "t.tif")
+    write_geotiff(path, data, header)
+    raw = bytearray(open(path, "rb").read())
+
+    # rewrite the PixelScale/Tiepoint entries into one ModelTransformation
+    n = struct.unpack_from("<H", raw, 8)[0]
+    cs = header.cellsize
+    top_y = header.yllcorner + 3 * cs
+    matrix = struct.pack("<16d", cs, 0, 0, header.xllcorner,
+                         0, -cs, 0, top_y, 0, 0, 0, 0, 0, 0, 0, 0)
+    off = len(raw)
+    raw += matrix
+    patched = 0
+    for i in range(n):
+        e = 10 + i * 12
+        tag = struct.unpack_from("<H", raw, e)[0]
+        if tag in (_MODEL_PIXEL_SCALE, _MODEL_TIEPOINT) and not patched:
+            struct.pack_into("<HHII", raw, e, 34264, 12, 16, off)
+            patched += 1
+        elif tag in (_MODEL_PIXEL_SCALE, _MODEL_TIEPOINT):
+            # overwrite the second entry with a harmless duplicate tag
+            struct.pack_into("<HHII", raw, e, 34264 + 1, 3, 1, 0)
+    path2 = str(tmp_path / "t2.tif")
+    open(path2, "wb").write(bytes(raw))
+
+    out, hdr = read_geotiff(path2)
+    np.testing.assert_array_equal(out, data.astype(np.float64))
+    assert hdr.cellsize == pytest.approx(cs)
+    assert hdr.xllcorner == pytest.approx(header.xllcorner)
+    assert hdr.yllcorner == pytest.approx(header.yllcorner)
+
+    # rotated matrix -> hard error, never a silent (0,0)/1.0 grid
+    rot = struct.pack("<16d", cs, 0.1, 0, header.xllcorner,
+                      0.1, -cs, 0, top_y, 0, 0, 0, 0, 0, 0, 0, 0)
+    raw[off:off + len(matrix)] = rot
+    path3 = str(tmp_path / "t3.tif")
+    open(path3, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="rotated"):
+        read_geotiff(path3)
+
+
+def test_write_long_dimension_tags(tmp_path, header):
+    """Width/length/rows-per-strip are written as LONG: a >65535-row raster
+    must round-trip (regression: SHORT packing raised struct.error)."""
+    R, C = 70000, 3
+    data = np.zeros((R, C), dtype=np.float32)
+    data[0, 0] = 7.0
+    data[-1, -1] = 9.0
+    path = str(tmp_path / "tall.tif")
+    write_geotiff(path, data, header)
+    out, hdr = read_geotiff(path)
+    assert out.shape == (R, C)
+    assert out[0, 0] == 7.0 and out[-1, -1] == 9.0
