@@ -78,6 +78,14 @@ class SolverParameters:
     # every sweep (same fixed point; a converged system may run up to K-1
     # extra no-op sweeps). Requires sweep_dtype=float32 and a TPU backend.
     use_pallas: bool = False
+    # Device mesh for the SHARDED Pallas fast path. When set (a ('row','col')
+    # jax.sharding.Mesh — hashable, so still a valid static jit key) the
+    # Pallas sweep loop runs under shard_map with K-cell halo exchange per
+    # bundle and psum'd norms (solver/pallas_jacobi.py jacobi_solve_loop);
+    # the rest of the solver partitions via GSPMD from the array shardings.
+    # None (default) = single-device kernel. Shard grid/state with
+    # parallel.sharding.shard_pytree over the same mesh.
+    mesh: object = None
     # Inner linear solver: "jacobi" (reference CPUSolver/GPUSolver default,
     # cpusolver.cpp:672-703) or "cg" — Jacobi(diagonal)-preconditioned
     # conjugate gradient, the analogue of the reference's optional "lineal"

@@ -15,9 +15,12 @@ from __future__ import annotations
 import numpy as np
 
 import jax
+import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_pytree", "replicate_pytree"]
+__all__ = ["make_mesh", "shard_pytree", "replicate_pytree",
+           "halo_exchange"]
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -71,6 +74,41 @@ def shard_pytree(tree, mesh: Mesh):
 def replicate_pytree(tree, mesh: Mesh):
     return jax.tree.map(
         lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree)
+
+
+def _exchange_axis(a, axis_name: str, dim: int, k: int, size: int):
+    """Grow ``a`` by ``k`` cells on both ends of ``dim`` with data from the
+    neighbouring shards along mesh axis ``axis_name`` (zeros past the global
+    edge — `ppermute` leaves unpaired receivers zero-filled, which matches
+    the solver's zero-coefficient out-of-domain convention)."""
+    if size == 1:
+        pads = [(0, 0)] * a.ndim
+        pads[dim] = (k, k)
+        return jnp.pad(a, pads)
+    n = a.shape[dim]
+    lo = lax.slice_in_dim(a, 0, k, axis=dim)
+    hi = lax.slice_in_dim(a, n - k, n, axis=dim)
+    from_prev = lax.ppermute(hi, axis_name,
+                             [(i, i + 1) for i in range(size - 1)])
+    from_next = lax.ppermute(lo, axis_name,
+                             [(i, i - 1) for i in range(1, size)])
+    return jnp.concatenate([from_prev, a, from_next], axis=dim)
+
+
+def halo_exchange(a, k: int, mesh: Mesh, dims: tuple[int, int] = (-2, -1),
+                  axes: tuple[str, str] = ("row", "col")):
+    """K-cell halo exchange of a shard-local block over a 2-D mesh.
+
+    For use INSIDE :func:`shard_map`. Returns the block grown by ``k`` on
+    all four sides of ``dims``. Column exchange runs first, so the row
+    exchange carries the already-grown edges — corner halos arrive via the
+    row neighbour without explicit diagonal sends (standard two-phase
+    exchange; the 8-point lateral stencil needs the corners).
+    """
+    dims = tuple(d % a.ndim for d in dims)
+    a = _exchange_axis(a, axes[1], dims[1], k, mesh.shape[axes[1]])
+    a = _exchange_axis(a, axes[0], dims[0], k, mesh.shape[axes[0]])
+    return a
 
 
 def pad_to_multiple(dem: np.ndarray, multiple_r: int, multiple_c: int,

@@ -24,10 +24,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["jacobi_bundle", "SWEEPS_PER_BUNDLE"]
+__all__ = ["jacobi_bundle", "jacobi_solve_loop", "SWEEPS_PER_BUNDLE"]
 
 SWEEPS_PER_BUNDLE = 8
 _TR = 16          # output rows per slab (TR + 2K must be a multiple of the
@@ -42,7 +43,8 @@ def _roll2(x, shift, axis):
 
 
 def _kernel(b_ref, cu_ref, cd_ref, mask_ref, x_ref, clat_ref,
-            out_ref, norm_ref, *, K: int, TR: int, L: int, C: int):
+            out_ref, norm_ref, *, K: int, TR: int, L: int, C: int,
+            halo: int, R_in: int, C_in: int):
     i = pl.program_id(0)
     slab_rows = TR + 2 * K
 
@@ -108,6 +110,16 @@ def _kernel(b_ref, cu_ref, cd_ref, mask_ref, x_ref, clat_ref,
         apsi = jnp.abs(x)
         w = jnp.where(apsi > 1.0, 1.0 / apsi, 1.0)
         contrib = (dx * w * mask)[:, K:K + TR, :]
+        if halo > 0:
+            # sharded mode: the outer `halo` ring of the input block is
+            # neighbour-owned (redundant) — exclude it so the cross-device
+            # psum of the norm counts every node exactly once. Input row of
+            # contrib row r is i*TR + r (cols are not offset by padding).
+            rr = lax.broadcasted_iota(jnp.int32, contrib.shape, 1) + i * TR
+            cc = lax.broadcasted_iota(jnp.int32, contrib.shape, 2)
+            inside = ((rr >= halo) & (rr < R_in - halo)
+                      & (cc >= halo) & (cc < C_in - halo))
+            contrib = jnp.where(inside, contrib, 0.0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         norm_block = jnp.where((rows == 0) & (cols == 0),
@@ -124,12 +136,22 @@ def _kernel(b_ref, cu_ref, cd_ref, mask_ref, x_ref, clat_ref,
 
 
 def jacobi_bundle(b, c_up, c_down, c_lat, mask_f, x,
-                  K: int = SWEEPS_PER_BUNDLE, TR: int = _TR):
+                  K: int = SWEEPS_PER_BUNDLE, TR: int = _TR,
+                  halo: int = 0, interpret: bool | None = None):
     """Run K Jacobi sweeps; returns (x_new, last_sweep_norm_sum).
 
     All arrays float32; b/c_up/c_down/mask_f/x are (L, R, C), c_lat is
     (8, L, R, C). R and C need not be aligned — padding is applied here.
+
+    ``halo`` > 0 marks the outer ring of the block as neighbour-owned
+    (sharded redundant-halo mode): those cells still sweep (they must, to
+    keep the interior exact for up to ``halo`` sweeps) but are excluded from
+    the norm sum. ``interpret`` runs the kernel through the Pallas
+    interpreter — default: automatic on non-TPU backends, so the sharded
+    path is testable on a virtual CPU mesh.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     L, R, C = x.shape
     # pad rows so R is a multiple of TR, plus K halo rows on both sides;
     # pad C to the f32 lane tile (128)
@@ -148,10 +170,12 @@ def jacobi_bundle(b, c_up, c_down, c_lat, mask_f, x,
     cl_p = pad4(c_lat)
 
     nblocks = Rp // TR
-    kernel = functools.partial(_kernel, K=K, TR=TR, L=L, C=Cp)
+    kernel = functools.partial(_kernel, K=K, TR=TR, L=L, C=Cp,
+                               halo=halo, R_in=R, C_in=C)
 
     out, norms = pl.pallas_call(
         kernel,
+        interpret=interpret,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
         out_specs=[
@@ -173,3 +197,86 @@ def jacobi_bundle(b, c_up, c_down, c_lat, mask_f, x,
     )(b_p, cu_p, cd_p, m_p, x_p, cl_p)
 
     return out[:, :R, :C], jnp.sum(norms[:, 0, 0])
+
+
+def jacobi_solve_loop(b, c_up, c_down, c_lat, mask_f, x0,
+                      max_iter, tol, n_nodes: int, mesh=None,
+                      K: int = SWEEPS_PER_BUNDLE):
+    """Iterate Pallas sweep bundles to convergence; returns (x, diverged, n_it).
+
+    Same convergence contract as the XLA sweep loop in
+    :func:`criteria3d_tpu.solver.step._jacobi_solve` (solveLinearSystem,
+    cpusolver.cpp:672-703): stop when the psi-weighted mean |dx| of the last
+    sweep drops below ``tol``, abort as diverged past 10x the best norm seen,
+    cap at ``max_iter`` sweeps counted in K-sweep bundles.
+
+    With ``mesh`` (a ('row','col') :class:`jax.sharding.Mesh`) the WHOLE loop
+    runs under ``shard_map``: the stencil coefficients are halo-exchanged
+    once (they are constant across the solve), each bundle exchanges only x
+    (K rows/cols per side — the redundant-halo scheme tolerates K stale edge
+    cells per bundle), and the norm is a cross-device ``psum`` restricted to
+    owner cells. This is the production fast path's multi-chip form — the
+    TPU-native analogue of the reference's fully device-resident GPU loop
+    (gpusolver.cpp:106-135) extended across chips over ICI.
+    """
+    tol = jnp.asarray(tol, jnp.float32)
+
+    def run_loop(b, cu, cd, cl, m, x, max_iter, tol, exchange=None,
+                 norm_reduce=None, halo=0):
+        if exchange is not None:
+            b, cu, cd, m = exchange(b), exchange(cu), exchange(cd), exchange(m)
+            cl = exchange(cl)
+
+        def cond(c):
+            _, it, _, done, _ = c
+            return jnp.logical_and(~done, it < max_iter)
+
+        def body(c):
+            x, it, best, done, diverged = c
+            xh = exchange(x) if exchange is not None else x
+            out, norm_sum = jacobi_bundle(b, cu, cd, cl, m, xh,
+                                          K=K, halo=halo)
+            if exchange is not None:
+                out = out[:, halo:-halo, halo:-halo]
+            if norm_reduce is not None:
+                norm_sum = norm_reduce(norm_sum)
+            norm = norm_sum / n_nodes
+            converged = norm < tol
+            div = jnp.logical_and(~converged, norm > best * 10.0)
+            best = jnp.minimum(best, norm)
+            return (out, it + K, best, converged | div, div)
+
+        best0 = jnp.ones((), x.dtype)
+        x, n_it, _, _, diverged = lax.while_loop(
+            cond, body, (x, jnp.zeros((), jnp.int32), best0,
+                         jnp.zeros((), bool), jnp.zeros((), bool)))
+        return x, diverged, n_it
+
+    if mesh is None:
+        return run_loop(b, c_up, c_down, c_lat, mask_f, x0, max_iter, tol)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from criteria3d_tpu.parallel.sharding import halo_exchange
+
+    def exchange(a):
+        return halo_exchange(a, K, mesh, dims=(-2, -1), axes=("row", "col"))
+
+    def norm_reduce(s):
+        return lax.psum(s, ("row", "col"))
+
+    def local(b, cu, cd, cl, m, x, max_iter, tol):
+        return run_loop(b, cu, cd, cl, m, x, max_iter, tol,
+                        exchange=exchange, norm_reduce=norm_reduce, halo=K)
+
+    s3 = P(None, "row", "col")
+    s4 = P(None, None, "row", "col")
+    # check_vma off: pallas_call outputs carry no varying-mesh-axes info,
+    # and the replication of the scalar outputs is established manually by
+    # the psum above.
+    return shard_map(local, mesh=mesh,
+                     in_specs=(s3, s3, s3, s4, s3, s3, P(), P()),
+                     out_specs=(s3, P(), P()), check_vma=False)(
+        b, c_up, c_down, c_lat, mask_f, x0,
+        jnp.asarray(max_iter, jnp.int32), tol)

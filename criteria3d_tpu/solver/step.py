@@ -118,9 +118,14 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
 
     use_pallas = fast and params.use_pallas
     if use_pallas:
-        from criteria3d_tpu.solver.pallas_jacobi import (SWEEPS_PER_BUNDLE,
-                                                         jacobi_bundle)
+        from criteria3d_tpu.solver.pallas_jacobi import jacobi_solve_loop
         mask_f = grid.mask.astype(params.sweep_dtype)
+        x, diverged, n_it = jacobi_solve_loop(
+            sweep_sys.b, sweep_sys.c_up, sweep_sys.c_down, sweep_sys.c_lat,
+            mask_f, x_init, max_iter, tol, grid.n_nodes, mesh=params.mesh)
+        x = grid.z + x.astype(params.dtype)
+        x = jnp.where(grid.mask, x, 0.0)
+        return x, diverged, n_it
 
     def cond(c):
         _, it, _, done, _ = c
@@ -128,13 +133,7 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
 
     def body(c):
         x, it, best, done, diverged = c
-        if use_pallas:
-            x_new, norm_sum = jacobi_bundle(
-                sweep_sys.b, sweep_sys.c_up, sweep_sys.c_down,
-                sweep_sys.c_lat, mask_f, x)
-            norm = norm_sum / grid.n_nodes
-            it_inc = SWEEPS_PER_BUNDLE
-        elif fast:
+        if fast:
             x_new, norm = W.jacobi_sweep_psi(sweep_sys, x, grid, grid.n_nodes)
             it_inc = 1
         else:

@@ -140,3 +140,71 @@ def test_unshardable_domain_fails_loudly():
     mesh = make_mesh(8)
     with pytest.raises(ValueError, match="pad"):
         shard_pytree(grid, mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_exchange_unit():
+    """halo_exchange must reproduce numpy zero-padded neighbourhoods,
+    including the corner cells carried by the two-phase exchange."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from criteria3d_tpu.parallel.sharding import halo_exchange
+
+    mesh = make_mesh(8)
+    mr, mc = mesh.shape["row"], mesh.shape["col"]
+    R, C = 4 * mr, 4 * mc
+    k = 2
+    a = np.arange(2 * R * C, dtype=np.float32).reshape(2, R, C) + 1.0
+
+    def local(x):
+        return halo_exchange(x, k, mesh, dims=(-2, -1), axes=("row", "col"))
+
+    out = shard_map(local, mesh=mesh,
+                    in_specs=P(None, "row", "col"),
+                    out_specs=P(None, "row", "col"), check_vma=False)(
+        jnp.asarray(a))
+    out = np.asarray(out)    # (2, R + mr*2k, C + mc*2k), blocks interleaved
+
+    padded = np.pad(a, ((0, 0), (k, k), (k, k)))
+    lr, lc = R // mr, C // mc
+    for bi in range(mr):
+        for bj in range(mc):
+            blk = out[:, bi * (lr + 2 * k):(bi + 1) * (lr + 2 * k),
+                      bj * (lc + 2 * k):(bj + 1) * (lc + 2 * k)]
+            exp = padded[:, bi * lr:bi * lr + lr + 2 * k,
+                         bj * lc:bj * lc + lc + 2 * k]
+            np.testing.assert_array_equal(blk, exp)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_pallas_matches_single_device():
+    """The SHIPPED production configuration — fast_f32 + Pallas bundled
+    sweeps (bench.py's parameter set) — must give the same trajectory on the
+    8-device mesh (shard_map + K-cell halo exchange, interpret-mode kernel)
+    as on a single device (VERDICT r2 next-round item 1)."""
+    dem = valley_dem(32)
+    soil = SoilFields.uniform(dem.shape, vg_alpha=1.2, vg_n=1.5, vg_he=0.02,
+                              theta_s=0.41, theta_r=0.04, k_sat=5e-6)
+    grid = Grid.build(dem, 10.0, soil, total_depth=0.6)
+    params = SolverParameters.fast_f32(use_pallas=True)
+    state = WaterState.initialize(grid, params, matric_potential=-1.0)
+    state = initialize_balance(grid, params, state)
+    rain = 0.020 * float(grid.area) / 3600.0
+    sink = jnp.zeros_like(state.sink_source)
+    sink = sink.at[0].set(jnp.where(grid.mask[0], rain, 0.0))
+    state = dataclasses.replace(state, sink_source=sink)
+
+    ref_state, ref_dt = compute_step(grid, params, state, 3600.0)
+
+    mesh = make_mesh(8)
+    params_s = SolverParameters.fast_f32(use_pallas=True, mesh=mesh)
+    out_state, out_dt = compute_step(shard_pytree(grid, mesh), params_s,
+                                     shard_pytree(state, mesh), 3600.0)
+    # the halo'd kernel computes identical sweeps; only the norm psum order
+    # differs, so trajectories should agree to f32 reduction noise
+    np.testing.assert_allclose(np.asarray(out_state.h),
+                               np.asarray(ref_state.h), rtol=0, atol=1e-5)
+    assert float(out_dt) == pytest.approx(float(ref_dt))
+    assert float(out_state.balance_current.mbr) == pytest.approx(
+        float(ref_state.balance_current.mbr), abs=1e-8)
