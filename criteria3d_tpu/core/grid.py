@@ -68,6 +68,7 @@ class Grid:
     z: jax.Array                   # [m] node elevation (layer centre)
     volume: jax.Array              # [m3] node volume ([m2] area for surface)
     lat_dist3d: jax.Array          # (8,R,C) [m] 3-D distance to lateral nbr
+    dz_lat: jax.Array              # (8,R,C) [m] z(nbr) - z (layer-independent)
     lat_dist2d: jax.Array          # (8,1,1) [m] 2-D (plan) distance
     lat_area: jax.Array            # (L,1,1) [m2] lateral link interface area (×0.5 applied)
     vert_dist: jax.Array           # (L,1,1) [m] |z(l-1) - z(l)| distance to layer above
@@ -207,10 +208,16 @@ class Grid:
         lat_dist2d = np.array([cell_size * math.hypot(di, dj)
                                for (di, dj) in LATERAL_OFFSETS])
         lat_dist3d = np.empty((8, R, C))
+        dz_lat = np.zeros((8, R, C))
+        zdem = np.where(valid2d, dem, 0.0)
         for k, (di, dj) in enumerate(LATERAL_OFFSETS):
-            zn = _np_shift(np.where(valid2d, dem, 0.0), di, dj)
-            dz = np.where(valid2d, dem, 0.0) - zn
+            zn = _np_shift(zdem, di, dj)
+            dz = zdem - zn
             lat_dist3d[k] = np.sqrt(lat_dist2d[k] ** 2 + dz ** 2)
+            # z(nbr)-z, zeroed where either side is missing (the matching
+            # conductance is zero there, so the b-term contribution is too)
+            vn = _np_shift(valid2d.astype(np.float64), di, dj) > 0
+            dz_lat[k] = np.where(valid2d & vn, -dz, 0.0)
 
         # --- slope / aspect / runoff boundary ---
         slope_deg, aspect_deg = slope_aspect(dem, cell_size)
@@ -265,6 +272,7 @@ class Grid:
             mask=jnp.asarray(mask),
             z=j(z), volume=j(volume),
             lat_dist3d=j(lat_dist3d),
+            dz_lat=j(dz_lat),
             lat_dist2d=j(lat_dist2d).reshape(8, 1, 1),
             lat_area=j(lat_area).reshape(L, 1, 1),
             vert_dist=j(vert_dist).reshape(L, 1, 1),

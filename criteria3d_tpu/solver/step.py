@@ -80,21 +80,12 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
             and params.sweep_dtype != params.dtype)
 
     if fast:
+        # assemble_fast already produced the system in f32 psi-form (the
+        # elevation terms entered the RHS as static per-link dz during
+        # assembly — no f64 fold needed here)
         sd = params.sweep_dtype
-        # fold elevation into the RHS: psi' = b + sum c_j z_j - z + sum c_j psi_j
-        z = grid.z
-        b_psi = system.b - z
-        b_psi = b_psi + system.c_up * jnp.roll(z, 1, axis=0)
-        b_psi = b_psi + system.c_down * jnp.roll(z, -1, axis=0)
-        for idx, (di, dj) in enumerate(W.LATERAL_OFFSETS):
-            b_psi = b_psi + system.c_lat[idx] * W.shift2d(z, di, dj)
-        sweep_sys = W.LinearSystem(
-            b=b_psi.astype(sd),
-            c_up=system.c_up.astype(sd),
-            c_down=system.c_down.astype(sd),
-            c_lat=system.c_lat.astype(sd),
-            diag=system.diag, courant=system.courant)
-        x_init = (x0 - z).astype(sd)
+        sweep_sys = system
+        x_init = jnp.where(grid.mask, x0 - grid.z, 0.0).astype(sd)
         tol = max(tol, 1e-7)
     else:
         sweep_sys = system
@@ -276,6 +267,12 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
     cpusolver.cpp:392-468)."""
     dtype = params.dtype
     zero = jnp.zeros((), dtype)
+    fast = (params.sweep_dtype is not None
+            and params.sweep_dtype != params.dtype)
+    if fast:
+        # loop-invariant: start-of-step state in f32 psi-form
+        psi_old32 = jnp.where(grid.mask, h_old - grid.z,
+                              0.0).astype(params.sweep_dtype)
 
     def evaluate(carry: _ApproxCarry) -> _ApproxCarry:
         """evaluateWaterBalance (water.cpp:165-227) + acceptStep/restoreBestStep."""
@@ -341,11 +338,19 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
 
     def body(carry: _ApproxCarry) -> _ApproxCarry:
         approx = carry.approx
-        capacity, k = W.compute_capacity(grid, params, carry.h, h_old, carry.se)
-        flow, rate = W.update_boundary_water(
-            grid, params, carry.h, h_old, k, sink_source, pond, dt)
-        system = W.assemble_system(
-            grid, params, carry.h, h_old, k, flow, capacity, pond, approx, dt)
+        if fast:
+            # single fused f32 psi-form pass (capacity + boundary + stencil)
+            system, flow, rate, k = W.assemble_fast(
+                grid, params, carry.h, h_old, psi_old32, carry.se,
+                sink_source, pond, approx, dt)
+        else:
+            capacity, k = W.compute_capacity(grid, params, carry.h, h_old,
+                                             carry.se)
+            flow, rate = W.update_boundary_water(
+                grid, params, carry.h, h_old, k, sink_source, pond, dt)
+            system = W.assemble_system(
+                grid, params, carry.h, h_old, k, flow, capacity, pond,
+                approx, dt)
 
         courant_fail = jnp.logical_and(system.courant >= 1.01,
                                        dt > params.delta_t_min)
@@ -397,8 +402,11 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
                                carry.approx < params.max_approximations)
 
     if params.track_link_flow:
-        a_up0 = jnp.zeros_like(h)
-        a_lat0 = jnp.zeros((8,) + h.shape, dtype)
+        # the stored conductances take the system's dtype (f32 on the fast
+        # psi-form path, f64 otherwise)
+        lf_dtype = params.sweep_dtype if fast else dtype
+        a_up0 = jnp.zeros(h.shape, lf_dtype)
+        a_lat0 = jnp.zeros((8,) + h.shape, lf_dtype)
     else:
         a_up0 = jnp.zeros((0,), dtype)
         a_lat0 = jnp.zeros((0,), dtype)

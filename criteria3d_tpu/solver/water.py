@@ -25,7 +25,8 @@ from criteria3d_tpu.solver.shifts import LATERAL_OFFSETS, shift2d
 
 __all__ = [
     "total_water_content", "update_boundary_water", "compute_capacity",
-    "compute_se", "assemble_system", "current_mass_balance", "LinearSystem",
+    "compute_se", "assemble_system", "assemble_fast",
+    "current_mass_balance", "LinearSystem",
 ]
 
 
@@ -396,6 +397,259 @@ def assemble_system(grid: Grid, params: SolverParameters,
         diag=diag,
         courant=courant,
     )
+
+
+# ----------------------------------------------------------------------
+# float32 psi-form fast assembly (production TPU mode)
+# ----------------------------------------------------------------------
+
+def assemble_fast(grid: Grid, params: SolverParameters,
+                  h: jax.Array, h_old: jax.Array, psi_old: jax.Array,
+                  se: jax.Array, sink_source: jax.Array, pond: jax.Array,
+                  approx: jax.Array, dt: jax.Array):
+    """Capacity + boundary flows + stencil assembly in ONE float32 pass,
+    with the RHS directly in psi-form.
+
+    Numerically equivalent to compute_capacity + update_boundary_water +
+    assemble_system followed by the elevation fold of
+    :func:`criteria3d_tpu.solver.step._jacobi_solve` — but formulated
+    entirely in OFFSET space (psi = h - z per node, static per-link dz for
+    neighbour differences), so no f32 operation ever sees an absolute head:
+    head differences keep micrometre precision over hundreds of metres of
+    relief, and the TPU never runs emulated-f64 element-wise chains. The
+    psi-form RHS identity (derivation in the r3 design notes):
+
+        b'_i = (C_i/dt) psi_old_i + Q_i + sum_j a_ij (z_j - z_i)
+
+    with z_j - z_i = +vert_dist[l] (up), -vert_dist[l+1] (down) and
+    grid.dz_lat[k] (lateral, layer-independent).
+
+    Returns ``(system, water_flow, boundary_rate, k)`` with the system in
+    float32/psi-form and the three fields cast back to ``params.dtype`` so
+    every carry/state dtype is unchanged. Only meaningful when
+    ``params.sweep_dtype`` is set (the fast path).
+    """
+    sd = params.sweep_dtype
+    dtype = params.dtype
+    mask = grid.mask
+    soil32 = _soil_wd(grid, sd)
+    dt32 = jnp.asarray(dt, sd)
+    lvr = jnp.asarray(params.lateral_vertical_ratio, sd)
+
+    psi = (h - grid.z).astype(sd)
+    psi = jnp.where(mask, psi, 0.0)
+    avg_psi = 0.5 * (psi + psi_old)
+    vol32 = grid.volume.astype(sd)
+    area32 = jnp.asarray(grid.area, sd)
+
+    # --- capacity + conductivity (compute_capacity fast branch) ---------
+    k = mualem_conductivity(soil32, se.astype(sd), params.wrc_model)
+    k = jnp.where(mask, k, 0.0).at[0].set(0.0)
+
+    psi_c = jnp.abs(jnp.minimum(psi, 0.0))
+    psi_p = jnp.abs(jnp.minimum(psi_old, 0.0))
+    if params.wrc_model.name == "VAN_GENUCHTEN":
+        saturated = (psi_c == 0.0) & (psi_p == 0.0)
+    else:
+        saturated = (psi_c <= soil32.vg_he) & (psi_p <= soil32.vg_he)
+    n = soil32.vg_n
+    x = soil32.vg_alpha * jnp.maximum(psi_c, 1e-20)
+    term = (1.0 + x ** n) ** (-(soil32.vg_m + 1.0)) * x ** (n - 1.0)
+    dse_a = soil32.vg_alpha * n * soil32.vg_m * term / soil32.vg_sc
+    se_c = se_from_psi(soil32, psi_c, params.wrc_model)
+    se_p = se_from_psi(soil32, psi_p, params.wrc_model)
+    dh32 = (h - h_old).astype(sd)
+    dse_s = jnp.abs((se_c - se_p) / jnp.where(dh32 != 0, dh32, 1.0))
+    resolvable = jnp.abs(psi_c - psi_p) > 1e-4
+    dse = jnp.where(resolvable, dse_s, dse_a)
+    dse = jnp.where(saturated, 0.0, dse)
+    capacity = vol32 * dse * (soil32.theta_s - soil32.theta_r)
+    capacity = capacity.at[0].set(vol32[0])
+    capacity = jnp.where(mask, capacity, 1.0)
+
+    # --- boundary flows (update_boundary_water in offset space) ---------
+    flow = jnp.where(mask, sink_source.astype(sd), 0.0)
+    h_s0 = jnp.maximum(0.0, avg_psi[0])
+    max_surf_flux = -h_s0 * vol32[0] / dt32
+    flow0 = jnp.where(flow[0] < 0, jnp.maximum(flow[0], max_surf_flux), flow[0])
+    flow = flow.at[0].set(jnp.where(mask[0], flow0, 0.0))
+
+    bt = grid.btype
+    pond32 = pond.astype(sd)
+    bslope32 = grid.bslope.astype(sd)
+    bsize32 = grid.bsize.astype(sd)
+    rough32 = grid.roughness.astype(sd)
+
+    # Runoff (surface rim): Manning outflow
+    hs0 = jnp.maximum(0.0, avg_psi[0] - pond32)
+    rough_s = jnp.maximum(rough32, 1e-12)
+    v = hs0 ** (2.0 / 3.0) * jnp.sqrt(jnp.maximum(bslope32[0], 0.0)) / rough_s
+    max_flow = hs0 * vol32[0] / dt32
+    val_flow = hs0 * v * bsize32[0]
+    runoff_rate0 = jnp.where(hs0 < EPSILON_RUNOFF, 0.0,
+                             -jnp.minimum(val_flow, max_flow))
+    runoff_rate = jnp.zeros_like(psi).at[0].set(runoff_rate0)
+
+    # FreeDrainage (bottom): Darcy unit gradient
+    fd_rate = -k * area32
+
+    # FreeLateralDrainage (rim soil)
+    fld_rate = -k * bsize32 * bslope32 * lvr
+
+    # PrescribedTotalWaterPotential: fixed head 1 m below
+    Lb = 1.0
+    prescribed_psi = (grid.prescribed_h - grid.z).astype(sd)
+    boundary_psi = prescribed_psi + Lb
+    k_bound = jnp.where(
+        boundary_psi >= 0, soil32.k_sat,
+        mualem_conductivity(
+            soil32,
+            se_from_psi(soil32, jnp.abs(boundary_psi), params.wrc_model),
+            params.wrc_model))
+    mean_kb = compute_mean(k_bound, jnp.maximum(k, 1e-30), params.mean_type)
+    presc_rate = mean_kb * bsize32 * (prescribed_psi - psi) / Lb
+
+    # Culvert (surface outlet)
+    cw = grid.culvert_w.astype(sd)
+    ch = jnp.maximum(grid.culvert_h.astype(sd), 1e-12)
+    crough = jnp.maximum(grid.culvert_rough.astype(sd), 1e-12)
+    cslope = jnp.maximum(bslope32[0], 0.0)
+    if params.culvert_reference_compat:
+        # the reference's verbatim 0.5*(H - Hold) - z needs the absolute
+        # surface elevation (f32 of ~100 m is exact to micrometres, fine
+        # for a comparison against metre-scale culvert heights)
+        wl = 0.5 * (psi[0] - psi_old[0]) - grid.z[0].astype(sd)
+    else:
+        wl = avg_psi[0]
+    eq_diam = jnp.sqrt(4.0 * cw * ch / jnp.pi)
+    pressure_flow = 70.0 * cslope ** 0.54 * eq_diam ** 2.63 / 3.591
+    hr_full = bsize32[0] / jnp.maximum(cw + 2.0 * ch, 1e-12)
+    manning_full = (bsize32[0] / crough) * jnp.sqrt(cslope) * hr_full ** (2.0 / 3.0)
+    mix_w = jnp.clip((wl - ch) / (0.5 * ch), 0.0, 1.0)
+    mixed_flow = mix_w * pressure_flow + (1.0 - mix_w) * manning_full
+    oc_area = cw * jnp.maximum(wl, 0.0)
+    hr_open = oc_area / jnp.maximum(cw + 2.0 * jnp.maximum(wl, 0.0), 1e-12)
+    open_flow = (oc_area / crough) * jnp.sqrt(cslope) * hr_open ** (2.0 / 3.0)
+    culvert_flow = jnp.where(
+        wl >= 1.5 * ch, pressure_flow,
+        jnp.where(wl >= ch, mixed_flow,
+                  jnp.where(wl > pond32, open_flow, 0.0)))
+    culvert_rate = jnp.zeros_like(psi).at[0].set(-culvert_flow)
+
+    rate = jnp.zeros_like(psi)
+    rate = jnp.where(bt == BoundaryType.RUNOFF, runoff_rate, rate)
+    rate = jnp.where(bt == BoundaryType.FREE_DRAINAGE, fd_rate, rate)
+    rate = jnp.where(bt == BoundaryType.FREE_LATERAL_DRAINAGE, fld_rate, rate)
+    rate = jnp.where(bt == BoundaryType.PRESCRIBED_TOTAL_POTENTIAL, presc_rate, rate)
+    rate = jnp.where(bt == BoundaryType.CULVERT, culvert_rate, rate)
+    rate = jnp.where(jnp.abs(rate) < DBL_EPSILON, 0.0, rate)
+    rate = jnp.where(mask, rate, 0.0)
+    water_flow = flow + rate
+
+    # --- vertical conductances (offset-space infiltration) --------------
+    L = grid.n_layers
+    vd32 = jnp.where(grid.vert_dist > 0, grid.vert_dist, 1.0).astype(sd)
+    k_above = jnp.roll(k, 1, axis=0)
+    mean_k = compute_mean(jnp.maximum(k, 1e-30), jnp.maximum(k_above, 1e-30),
+                          params.mean_type)
+    a_redist = mean_k * area32 / vd32
+
+    dist01 = grid.vert_dist[1, 0, 0].astype(sd)
+    bt1 = bt[1]
+    bf = jnp.where(bt1 == BoundaryType.URBAN, 0.33,
+                   jnp.where(bt1 == BoundaryType.ROAD, 0.0, 1.0))
+    ksat1 = soil32.k_sat[1]
+    sat_val = ksat1 * bf * area32 / dist01
+
+    surface_water = jnp.maximum(avg_psi[0], 0.0)
+    sbf = water_flow[0]
+    surface_water = jnp.where(
+        sbf < 0, jnp.maximum(0.0, surface_water + sbf * dt32 / vol32[0]),
+        surface_water)
+    max_inf_rate = surface_water / dt32
+    # surf_h - soil_h = avg_psi0 - avg_psi1 + (z0 - z1)
+    dh01 = jnp.maximum(avg_psi[0] - avg_psi[1] + dist01, 1e-12)
+    max_k = max_inf_rate * dist01 / dh01
+    mean_k01 = compute_mean(ksat1, jnp.maximum(k[1], 1e-30), params.mean_type)
+    unsat_val = jnp.where(max_inf_rate < MIN_INFILTRATION_RATE, 0.0,
+                          jnp.minimum(bf * mean_k01, max_k) * area32 / dist01)
+    # h[1] > z[0]  <=>  psi[1] > z[0] - z[1]
+    infil = jnp.where(psi[1] > dist01, sat_val, unsat_val)
+
+    layer_idx = jnp.arange(L).reshape(L, 1, 1)
+    a_up = jnp.where(layer_idx >= 2, a_redist, 0.0)
+    if L > 1:
+        a_up = a_up.at[1].set(infil)
+    link_ok = mask & jnp.roll(mask, 1, axis=0)
+    link_ok = link_ok.at[0].set(False)
+    a_up = jnp.where(link_ok, a_up, 0.0)
+
+    # --- lateral conductances + Courant (offset space) ------------------
+    hi = avg_psi[0] + jnp.where(
+        (approx == 0) & (water_flow[0] > 0),
+        0.5 * water_flow[0] * dt32 / vol32[0], 0.0)
+    k_soil = jnp.maximum(k * lvr, 1e-30)
+    lat_area32 = grid.lat_area.astype(sd)
+    dz_lat32 = grid.dz_lat.astype(sd)
+
+    a_lat_list = []
+    courant = jnp.zeros((), sd)
+    for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+        nbr_ok = shift2d(mask, di, dj, fill=False)
+        dz = dz_lat32[idx]                        # (R,C): z(nbr) - z
+
+        k_nbr = jnp.maximum(shift2d(k_soil, di, dj), 1e-30)
+        mean_kl = compute_mean(k_soil, k_nbr, params.mean_type)
+        a_soil = mean_kl * lat_area32 / grid.lat_dist3d[idx].astype(sd)
+
+        hj = shift2d(hi, di, dj)
+        pond_j = shift2d(pond32, di, dj)
+        # max(Hi, Hj) - max(Zi+pond_i, Zj+pond_j), base z_i
+        hs = (jnp.maximum(hi, hj + dz)
+              - jnp.maximum(pond32, pond_j + dz))
+        dxy = grid.lat_dist2d[idx, 0, 0].astype(sd)
+        rough_ij = 0.5 * (rough32 + shift2d(rough32, di, dj))
+        hs23 = jnp.maximum(hs, 0.0) ** (2.0 / 3.0)
+        a_surface = (lat_area32[0, 0, 0] * hs) * hs23 / (rough_ij * dxy)
+        invalid = (hs <= EPSILON_METER) | (rough_ij <= 0.0)
+        a_surface = jnp.where(invalid, 0.0, a_surface)
+
+        dh_ij = jnp.abs(hi - hj - dz)
+        if params.courant_reference_compat:
+            dh_ij = jnp.trunc(dh_ij)
+        slope = jnp.where(dh_ij > EPSILON_METER, dh_ij / dxy, 0.0)
+        vv = hs23 * jnp.sqrt(slope) / rough_ij
+        cour = jnp.where(invalid | ~nbr_ok[0] | ~mask[0], 0.0, vv * dt32 / dxy)
+        courant = jnp.maximum(courant, jnp.max(cour))
+
+        a = a_soil.at[0].set(a_surface)
+        a_lat_list.append(jnp.where(mask & nbr_ok, a, 0.0))
+    a_lat = jnp.stack(a_lat_list)
+
+    # --- psi-form system + Jacobi preconditioning -----------------------
+    a_down = jnp.roll(a_up, -1, axis=0).at[-1].set(0.0)
+    sum_a = a_up + a_down + jnp.sum(a_lat, axis=0)
+    diag = capacity / dt32 + sum_a
+    diag = jnp.where(mask, diag, 1.0)
+
+    vd_down = jnp.roll(vd32, -1, axis=0)
+    b = (capacity / dt32) * psi_old + water_flow
+    b = b + a_up * vd32 - a_down * vd_down
+    for idx in range(8):
+        b = b + a_lat[idx] * dz_lat32[idx]
+    b = jnp.where(mask, b, 0.0)
+
+    inv_diag = 1.0 / diag
+    system = LinearSystem(
+        b=b * inv_diag,
+        c_up=a_up * inv_diag,
+        c_down=a_down * inv_diag,
+        c_lat=a_lat * inv_diag[None],
+        diag=diag,
+        courant=courant.astype(dtype),
+    )
+    return (system, water_flow.astype(dtype), rate.astype(dtype),
+            k.astype(dtype))
 
 
 def jacobi_sweep(system: LinearSystem, x: jax.Array, grid: Grid,
