@@ -20,7 +20,35 @@ import numpy as np
 
 from criteria3d_tpu.constants import NODATA
 
-__all__ = ["MeteoGridStructure", "MeteoGridDb", "parse_grid_xml"]
+__all__ = ["MeteoGridStructure", "MeteoGridDb", "GridCell", "parse_grid_xml",
+           "cell_center", "aggregate_raster_to_grid",
+           "stations_from_grid"]
+
+# reference: GRID_MIN_COVERAGE 10% (commonConstants.h) — minimum share of
+# valid DEM cells inside a grid cell for the aggregate to count
+GRID_MIN_COVERAGE = 0.1
+
+
+@dataclasses.dataclass
+class GridCell:
+    """One CellsProperties row (dbMeteoGrid.cpp:1214-1306 loadCellProperties,
+    :1306-1340 newCellProperties)."""
+
+    code: str
+    row: int
+    col: int
+    name: str = ""
+    height: float = NODATA
+    active: bool = True
+
+
+def cell_center(structure: MeteoGridStructure, row: int, col: int
+                ) -> tuple[float, float]:
+    """(x, y) centre of a grid cell; row 0 is the SOUTH row (the XLL/YLL
+    corner convention of the XML, dbMeteoGrid.cpp:169-320)."""
+    x = structure.ll_longitude + (col + 0.5) * structure.dx
+    y = structure.ll_latitude + (row + 0.5) * structure.dy
+    return x, y
 
 
 @dataclasses.dataclass
@@ -155,6 +183,152 @@ class MeteoGridDb:
         vals = np.array([r[1] if r[1] is not None else NODATA for r in rows])
         return dates, vals
 
+    # --- cell properties (CellsProperties; dbMeteoGrid.cpp:1214-1340) ----
+
+    def write_cell_properties(self, cells: list) -> None:
+        con = sqlite3.connect(self.path)
+        cur = con.cursor()
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS CellsProperties "
+            "(Code TEXT NOT NULL PRIMARY KEY, Name TEXT, Row INTEGER, "
+            "Col INTEGER, Height REAL, Active INTEGER)")
+        for c in cells:
+            cur.execute(
+                "INSERT OR REPLACE INTO CellsProperties VALUES (?,?,?,?,?,?)",
+                (c.code, c.name or c.code, int(c.row), int(c.col),
+                 float(c.height), 1 if c.active else 0))
+        con.commit()
+        con.close()
+
+    def load_cell_properties(self) -> list:
+        """All CellsProperties rows ordered by Code
+        (loadCellProperties, dbMeteoGrid.cpp:1214-1306)."""
+        con = sqlite3.connect(f"file:{self.path}?mode=ro", uri=True)
+        cur = con.cursor()
+        try:
+            rows = cur.execute(
+                "SELECT Code, Name, Row, Col, Height, Active "
+                "FROM CellsProperties ORDER BY Code").fetchall()
+        except sqlite3.OperationalError:
+            con.close()
+            return []
+        con.close()
+        out = []
+        for code, name, row, col, height, active in rows:
+            if row >= self.structure.nr_rows or col >= self.structure.nr_cols:
+                raise ValueError(
+                    f"CellsProperties: cell {code} at ({row},{col}) outside "
+                    f"the {self.structure.nr_rows}x{self.structure.nr_cols} "
+                    "grid")
+            out.append(GridCell(code=str(code), name=name or str(code),
+                                row=int(row), col=int(col),
+                                height=NODATA if height is None else float(height),
+                                active=bool(active)))
+        return out
+
+    def cell_codes_2d(self, cells: list | None = None) -> np.ndarray:
+        """(nr_rows, nr_cols) object array of cell codes ('' = no cell)."""
+        if cells is None:
+            cells = self.load_cell_properties()
+        out = np.full((self.structure.nr_rows, self.structure.nr_cols), "",
+                      dtype=object)
+        for c in cells:
+            out[c.row, c.col] = c.code
+        return out
+
+    # --- hourly tables: long format (PragaTime, VariableCode, Value) -----
+    # (the reference's default non-fixed-fields layout,
+    #  loadGridHourlyData dbMeteoGrid.cpp:1699-1770)
+
+    def write_hourly(self, cell_code: str, times, varcode_values: dict
+                     ) -> None:
+        """``varcode_values`` maps an int VariableCode to a series aligned
+        with ``times`` (datetime-like or ISO strings)."""
+        con = sqlite3.connect(self.path)
+        cur = con.cursor()
+        table = self._table(cell_code, daily=False)
+        ft = self.structure.hourly_field_time
+        cur.execute(
+            f'CREATE TABLE IF NOT EXISTS "{table}" '
+            f"({ft} TEXT, VariableCode INTEGER, Value REAL, "
+            f"PRIMARY KEY ({ft}, VariableCode))")
+        for code, series in varcode_values.items():
+            for t, v in zip(times, series):
+                cur.execute(
+                    f'INSERT OR REPLACE INTO "{table}" VALUES (?,?,?)',
+                    (_time_str(t), int(code), float(v)))
+        con.commit()
+        con.close()
+
+    def read_hourly(self, cell_code: str, varcode: int) -> tuple:
+        """(times, values) of one VariableCode for one cell."""
+        con = sqlite3.connect(f"file:{self.path}?mode=ro", uri=True)
+        cur = con.cursor()
+        table = self._table(cell_code, daily=False)
+        ft = self.structure.hourly_field_time
+        try:
+            rows = cur.execute(
+                f'SELECT {ft}, Value FROM "{table}" '
+                f"WHERE VariableCode=? ORDER BY {ft}",
+                (int(varcode),)).fetchall()
+        except sqlite3.OperationalError:
+            con.close()
+            return [], np.array([])
+        con.close()
+        times = [r[0] for r in rows]
+        vals = np.array([r[1] if r[1] is not None else NODATA for r in rows])
+        return times, vals
+
+    def read_hourly_map(self, cell_codes_2d, varcode: int, when) -> np.ndarray:
+        """(nr_rows, nr_cols) map of one VariableCode at one time."""
+        con = sqlite3.connect(f"file:{self.path}?mode=ro", uri=True)
+        cur = con.cursor()
+        out = np.full(np.shape(cell_codes_2d), NODATA)
+        ft = self.structure.hourly_field_time
+        ts = _time_str(when)
+        for (r, c), code in np.ndenumerate(np.asarray(cell_codes_2d, object)):
+            if not code:
+                continue
+            table = self._table(str(code), daily=False)
+            try:
+                row = cur.execute(
+                    f'SELECT Value FROM "{table}" '
+                    f"WHERE {ft}=? AND VariableCode=?",
+                    (ts, int(varcode))).fetchone()
+            except sqlite3.OperationalError:
+                continue
+            if row and row[0] is not None:
+                out[r, c] = row[0]
+        con.close()
+        return out
+
+    def write_hourly_map(self, cells: list, varcode: int, when,
+                         grid_values: np.ndarray) -> None:
+        """One (nr_rows, nr_cols) aggregated map into the per-cell tables
+        (the save side of spatialAggregateMeteoGrid +
+        saveCellCurrentGridHourly)."""
+        grid_values = np.asarray(grid_values)
+        con = sqlite3.connect(self.path)
+        cur = con.cursor()
+        ft = self.structure.hourly_field_time
+        ts = _time_str(when)
+        for c in cells:
+            if not c.active:
+                continue
+            v = grid_values[c.row, c.col]
+            if np.isclose(v, NODATA):
+                continue
+            table = self._table(c.code, daily=False)
+            cur.execute(
+                f'CREATE TABLE IF NOT EXISTS "{table}" '
+                f"({ft} TEXT, VariableCode INTEGER, Value REAL, "
+                f"PRIMARY KEY ({ft}, VariableCode))")
+            cur.execute(
+                f'INSERT OR REPLACE INTO "{table}" VALUES (?,?,?)',
+                (ts, int(varcode), float(v)))
+        con.commit()
+        con.close()
+
     def read_daily_map(self, cell_codes_2d, variable: str, date: str
                        ) -> np.ndarray:
         """(nr_rows, nr_cols) map of one variable at one date; NODATA gaps."""
@@ -174,3 +348,143 @@ class MeteoGridDb:
                 out[r, c] = row[0]
         con.close()
         return out
+
+
+def _time_str(t) -> str:
+    """Canonical 'yyyy-MM-dd HH:mm' key (the reference's PragaTime format,
+    dbMeteoGrid.cpp:1725 toString("yyyy-MM-dd hh:mm"))."""
+    if isinstance(t, str):
+        return t
+    return t.strftime("%Y-%m-%d %H:%M")
+
+
+def aggregate_raster_to_grid(values: np.ndarray, header,
+                             structure: MeteoGridStructure,
+                             method: str = "average",
+                             min_coverage: float = GRID_MIN_COVERAGE
+                             ) -> np.ndarray:
+    """Aggregate a DEM-resolution raster onto the meteo grid cells.
+
+    The vectorised analogue of Crit3DMeteoGrid::spatialAggregateMeteoGrid
+    (meteoGrid.cpp:139 + spatialAggregateMeteoGridPoint): every valid raster
+    cell whose centre falls inside a grid cell contributes; a grid cell
+    whose valid-coverage share is below ``min_coverage`` (GRID_MIN_COVERAGE)
+    gets NODATA. Methods mirror the reference's aggregationMethod enum
+    (statistics.h:21): average / median / min / max / sum / std / 95perc.
+
+    ``header`` is the raster's RasterHeader (xllcorner/yllcorner/cellsize).
+    Returns (nr_rows, nr_cols) with row 0 = south.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    R, C = values.shape
+    cs = header.cellsize
+    # raster cell centres (raster row 0 = NORTH row, ESRI convention)
+    xs = header.xllcorner + (np.arange(C) + 0.5) * cs
+    ys = header.yllcorner + (R - 0.5 - np.arange(R)) * cs
+    gx = np.floor((xs - structure.ll_longitude) / structure.dx).astype(int)
+    gy = np.floor((ys - structure.ll_latitude) / structure.dy).astype(int)
+    gcol = np.broadcast_to(gx[None, :], (R, C))
+    grow = np.broadcast_to(gy[:, None], (R, C))
+    valid = ~np.isclose(values, NODATA) & np.isfinite(values)
+    inside = ((gcol >= 0) & (gcol < structure.nr_cols)
+              & (grow >= 0) & (grow < structure.nr_rows))
+
+    out = np.full((structure.nr_rows, structure.nr_cols), NODATA)
+    sel_any = inside
+    flat_idx = grow * structure.nr_cols + gcol
+    n_inside = np.bincount(flat_idx[sel_any],
+                           minlength=structure.nr_rows * structure.nr_cols)
+    sel = inside & valid
+    n_valid = np.bincount(flat_idx[sel],
+                          minlength=structure.nr_rows * structure.nr_cols)
+
+    if method in ("average", "sum", "std"):
+        s1 = np.bincount(flat_idx[sel], weights=values[sel],
+                         minlength=n_inside.size)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s1 / n_valid
+        if method == "sum":
+            agg = s1
+        elif method == "average":
+            agg = mean
+        else:
+            s2 = np.bincount(flat_idx[sel], weights=values[sel] ** 2,
+                             minlength=n_inside.size)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                agg = np.sqrt(np.maximum(s2 / n_valid - mean ** 2, 0.0))
+        agg = agg.reshape(structure.nr_rows, structure.nr_cols)
+    else:
+        # order-statistic methods need the value lists
+        agg = np.full((structure.nr_rows, structure.nr_cols), NODATA)
+        order = np.argsort(flat_idx[sel], kind="stable")
+        vals_sorted = values[sel][order]
+        idx_sorted = flat_idx[sel][order]
+        bounds = np.searchsorted(idx_sorted,
+                                 np.arange(n_inside.size + 1))
+        fns = {"median": np.median, "min": np.min, "max": np.max,
+               "95perc": lambda v: np.percentile(v, 95)}
+        if method not in fns:
+            raise ValueError(f"unknown aggregation method: {method}")
+        fn = fns[method]
+        for cell in np.nonzero(n_valid)[0]:
+            v = vals_sorted[bounds[cell]:bounds[cell + 1]]
+            agg.flat[cell] = fn(v)
+        agg = agg.reshape(structure.nr_rows, structure.nr_cols)
+
+    n_inside2 = n_inside.reshape(structure.nr_rows, structure.nr_cols)
+    n_valid2 = n_valid.reshape(structure.nr_rows, structure.nr_cols)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        coverage = np.where(n_inside2 > 0, n_valid2 / n_inside2, 0.0)
+    return np.where((n_valid2 > 0) & (coverage > min_coverage), agg, NODATA)
+
+
+def stations_from_grid(db: MeteoGridDb, cells: list | None = None,
+                       var_map: dict | None = None) -> list:
+    """Active grid cells as virtual meteo stations with their hourly series.
+
+    The reference models grid cells AS Crit3DMeteoPoint objects
+    (meteoGrid.cpp fillMeteoPoint; the per-row load loop
+    project.cpp:1699-1770), so the whole station pipeline — QC, detrending,
+    interpolation onto the DEM — drives from a grid DB unchanged. Here the
+    same move: each active cell becomes a
+    :class:`criteria3d_tpu.core.meteo.MeteoStation` at the cell centre with
+    the CellsProperties height.
+
+    ``var_map`` maps VariableCode -> MeteoVariable; defaults to the
+    reference template ids (HOURLY_DB_IDS).
+    """
+    import datetime
+
+    from criteria3d_tpu.core.meteo import HOURLY_DB_IDS, MeteoStation
+
+    if cells is None:
+        cells = db.load_cell_properties()
+    if var_map is None:
+        var_map = {code: var for var, code in HOURLY_DB_IDS.items()}
+
+    stations = []
+    for c in cells:
+        if not c.active:
+            continue
+        x, y = cell_center(db.structure, c.row, c.col)
+        st = MeteoStation(
+            id=c.code, name=c.name or c.code,
+            latitude=y, longitude=x, utm_x=x, utm_y=y,
+            altitude=0.0 if c.height == NODATA else float(c.height))
+        for code, var in var_map.items():
+            times, vals = db.read_hourly(c.code, code)
+            if not times:
+                continue
+            t0 = datetime.datetime.strptime(times[0], "%Y-%m-%d %H:%M")
+            # densify onto a regular hourly axis from t0
+            t_end = datetime.datetime.strptime(times[-1], "%Y-%m-%d %H:%M")
+            n = int((t_end - t0).total_seconds() // 3600) + 1
+            series = np.full(n, NODATA)
+            for t, v in zip(times, vals):
+                tt = datetime.datetime.strptime(t, "%Y-%m-%d %H:%M")
+                i = int((tt - t0).total_seconds() // 3600)
+                if 0 <= i < n:
+                    series[i] = v
+            st.set_hourly(var, t0, series)
+        stations.append(st)
+    return stations

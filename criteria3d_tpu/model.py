@@ -133,7 +133,11 @@ class Criteria3DModel:
     def daily_update(self, t_min, t_max, *, date=None):
         """Daily updates: crop degree days + LAI (dailyUpdateCropMaps,
         criteria3DProject.cpp:1224), HYDRALL running-mean temperature and
-        Jan-1 annual allocation (dailyUpdateHydrall, :634-700, 1238)."""
+        Jan-1 annual allocation (dailyUpdateHydrall, :634-700, 1238).
+
+        ``t_min``/``t_max`` are per-cell (R, C) daily extreme MAPS built
+        from the hourly temperature maps (the reference's daily min/max
+        maps); scalars broadcast for single-column tests."""
         if self.config.compute_crop:
             inc = crop_mod.degree_day_increase(self.crop, t_min, t_max)
             self.degree_days = self.degree_days + inc
@@ -369,10 +373,12 @@ class Criteria3DModel:
             t_min, t_max = None, None
             for hour in range(24):
                 forcing = forcing_provider(date, hour)
-                t_map = forcing.air_temperature
-                t_val = float(jnp.mean(jnp.where(self.grid.mask[0], t_map, 0.0)))
-                t_min = t_val if t_min is None else min(t_min, t_val)
-                t_max = t_val if t_max is None else max(t_max, t_val)
+                # per-cell daily Tmin/Tmax maps (criteria3DProject.cpp:1224)
+                t_map = jnp.where(self.grid.mask[0],
+                                  forcing.air_temperature, 0.0)
+                t_val = float(jnp.mean(t_map))
+                t_min = t_map if t_min is None else jnp.minimum(t_min, t_map)
+                t_max = t_map if t_max is None else jnp.maximum(t_max, t_map)
                 out = self.run_hour(forcing, date.year, date.month, date.day,
                                     hour)
                 month_acc["t"] += t_val

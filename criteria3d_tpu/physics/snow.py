@@ -286,11 +286,27 @@ def snow_step(state: SnowState, forcing: SnowForcing,
         jnp.where((age0 == NODATA) | (prec_snow > 0.1), 0.0, age0 + 1.0 / 24.0),
         NODATA)
 
-    new_state = SnowState(swe=swe, ice=ice, liquid=liquid,
-                          internal_energy=internal_energy,
-                          surface_energy=surface_energy,
-                          surface_temp=surface_temp, age=age)
-    outputs = dict(snow_fall=prec_snow, rain=prec_rain, snow_melt=snow_melt,
-                   evaporation=evaporation, sensible_heat=q_sensible,
-                   latent_heat=q_latent)
+    # --- free-water skip (snow.cpp:168-190): cells carrying >100 mm of
+    # free surface water (rivers, torrents, heavy ponding) do not hold a
+    # snowpack — the pack is invalidated and the whole precipitation passes
+    # through as rain. Unlike the reference — whose NODATA state is sticky,
+    # permanently disabling snow on a cell once it was wet — the skip here
+    # applies only while the cell is ponded (see DEVIATIONS.md).
+    is_water = surface_water > 100.0
+    zero = jnp.zeros_like(swe)
+    new_state = SnowState(
+        swe=jnp.where(is_water, zero, swe),
+        ice=jnp.where(is_water, zero, ice),
+        liquid=jnp.where(is_water, zero, liquid),
+        internal_energy=jnp.where(is_water, zero, internal_energy),
+        surface_energy=jnp.where(is_water, zero, surface_energy),
+        surface_temp=jnp.where(is_water, forcing.air_temp, surface_temp),
+        age=jnp.where(is_water, NODATA, age))
+    outputs = dict(
+        snow_fall=jnp.where(is_water, zero, prec_snow),
+        rain=jnp.where(is_water, prec, prec_rain),
+        snow_melt=jnp.where(is_water, zero, snow_melt),
+        evaporation=jnp.where(is_water, zero, evaporation),
+        sensible_heat=jnp.where(is_water, zero, q_sensible),
+        latent_heat=jnp.where(is_water, zero, q_latent))
     return new_state, outputs

@@ -18,7 +18,8 @@ import numpy as np
 
 from criteria3d_tpu.constants import NODATA
 
-__all__ = ["WaterTableModel", "weighted_cwb"]
+__all__ = ["WaterTableModel", "weighted_cwb", "Well",
+           "load_well_locations_csv", "load_well_depths_csv"]
 
 
 def weighted_cwb(prec: np.ndarray, et0: np.ndarray, index: int, nr_days: int,
@@ -103,3 +104,124 @@ class WaterTableModel:
         if d_cwb == NODATA:
             return NODATA
         return max(0.0, self.h0 + self.alpha * d_cwb)
+
+
+# ----------------------------------------------------------------------
+# well import + project-level subsystem (agrolib/waterTable/importData.cpp,
+# well.h; Project::waterTableImportLocation/Depths project.cpp:5952-5995)
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Well:
+    """One observation well (well.h:8-60): location + date->depth [cm]."""
+
+    id: str
+    utm_x: float = NODATA
+    utm_y: float = NODATA
+    latitude: float = NODATA
+    longitude: float = NODATA
+    depths: dict = dataclasses.field(default_factory=dict)  # date -> cm
+
+    @property
+    def first_obs_date(self):
+        return min(self.depths) if self.depths else None
+
+
+def load_well_locations_csv(path: str, *, utm_zone: int | None = None,
+                            reference_lat: float = 45.0) -> tuple[list, int]:
+    """Parse the well-locations CSV: header [ID, utmX, utmY] or
+    [ID, lat, lon] (loadWaterTableLocationCsv, importData.cpp:10-127).
+
+    Returns (wells, wrong_lines); repeated ids and non-numeric coordinate
+    lines are counted as wrong, exactly like the reference.
+    """
+    import csv as _csv
+
+    wells: list[Well] = []
+    seen: set[str] = set()
+    wrong = 0
+    with open(path, newline="") as f:
+        reader = _csv.reader(f)
+        header = next(reader)
+        if len(header) != 3:
+            raise ValueError(
+                "Wrong data! Required [ID, utmX, utmY] or [ID, lat, lon]")
+        is_latlon = header[1].strip().upper() == "LAT"
+        for line in reader:
+            items = [x for x in (s.strip().strip('"') for s in line) if x]
+            if len(items) < 3:
+                wrong += 1
+                continue
+            wid = items[0]
+            if wid in seen:
+                wrong += 1
+                continue
+            try:
+                v1, v2 = float(items[1]), float(items[2])
+            except ValueError:
+                wrong += 1
+                continue
+            seen.add(wid)
+            w = Well(id=wid)
+            if is_latlon:
+                w.latitude, w.longitude = v1, v2
+                if utm_zone is not None:
+                    from criteria3d_tpu.core.geo import latlon_to_utm
+                    x, y, _ = latlon_to_utm(v1, v2, utm_zone)
+                    w.utm_x, w.utm_y = float(x), float(y)
+            else:
+                w.utm_x, w.utm_y = v1, v2
+                if utm_zone is not None:
+                    from criteria3d_tpu.core.geo import utm_to_latlon
+                    lat, lon = utm_to_latlon(utm_zone, reference_lat, v1, v2)
+                    w.latitude, w.longitude = float(lat), float(lon)
+            wells.append(w)
+    if not wells:
+        raise ValueError(f"Wrong wells location: {path}")
+    return wells, wrong
+
+
+def load_well_depths_csv(path: str, wells: list, *,
+                         max_depth_cm: float = 300.0) -> int:
+    """Parse the depth-observations CSV [ID, date yyyy-mm-dd, depth cm]
+    into the matching wells (loadWaterTableDepthCsv, importData.cpp:130-230).
+
+    Depths outside [0, max_depth_cm] (waterTableMaximumDepth quality
+    parameter) and unknown ids count as wrong lines. Returns wrong_lines.
+    """
+    import csv as _csv
+    import datetime as _dt
+
+    by_id = {w.id: w for w in wells}
+    wrong = 0
+    valid = 0
+    with open(path, newline="") as f:
+        reader = _csv.reader(f)
+        header = next(reader)
+        if len(header) != 3:
+            raise ValueError("Wrong data! Required [ID, date, depth].")
+        for line in reader:
+            items = [x for x in (s.strip().strip('"') for s in line) if x]
+            if len(items) < 3:
+                wrong += 1
+                continue
+            w = by_id.get(items[0])
+            if w is None:
+                wrong += 1
+                continue
+            try:
+                date = _dt.date.fromisoformat(items[1])
+                value = float(items[2])
+            except ValueError:
+                wrong += 1
+                continue
+            if value == NODATA or value < 0 or value > max_depth_cm:
+                wrong += 1
+                continue
+            w.depths[date] = value
+            valid += 1
+    if valid == 0:
+        raise ValueError(
+            f"Wrong water table depth: {path}\n"
+            "The separator must be a comma; the date format yyyy-mm-dd.")
+    return wrong

@@ -84,6 +84,12 @@ class Criteria3DProject:
     land_units: list = dataclasses.field(default_factory=list)
     crops: dict = dataclasses.field(default_factory=dict)
     stations: list[MeteoStation] = dataclasses.field(default_factory=list)
+    # optional XML-described meteo grid DB (dbMeteoGrid analogue)
+    meteo_grid: object | None = None
+    meteo_grid_cells: list = dataclasses.field(default_factory=list)
+    # water-table wells + fitted models (project.h:169 waterTableList)
+    wells: list = dataclasses.field(default_factory=list)
+    watertables: list = dataclasses.field(default_factory=list)
     climate: ClimateParameters | None = None
     output_points: OutputPoints | None = None
     output_dir: str = ""
@@ -361,6 +367,168 @@ class Criteria3DProject:
     # ------------------------------------------------------------------
     # hourly meteo interpolation (interpolationDemMain)
     # ------------------------------------------------------------------
+    def load_meteo_grid(self, xml_path: str, db_path: str, *,
+                        as_forcing: bool = True, var_map: dict | None = None
+                        ) -> None:
+        """Attach an XML-described meteo grid DB as a weather source.
+
+        Reference: Project::loadMeteoGridDB + the per-row OpenMP data-load
+        loop (project.cpp:1699-1770) and meteoGrid fillMeteoPoint — grid
+        cells are modelled as meteo points, so with ``as_forcing`` every
+        ACTIVE cell becomes a virtual station (centre coordinates,
+        CellsProperties height, hourly series from the per-cell tables) and
+        the whole QC/detrending/interpolation pipeline drives from the grid
+        unchanged.
+        """
+        from criteria3d_tpu.io.meteogrid import (MeteoGridDb, parse_grid_xml,
+                                                 stations_from_grid)
+        structure = parse_grid_xml(xml_path)
+        self.meteo_grid = MeteoGridDb(db_path, structure)
+        self.meteo_grid_cells = self.meteo_grid.load_cell_properties()
+        if as_forcing:
+            self.stations = stations_from_grid(
+                self.meteo_grid, self.meteo_grid_cells, var_map=var_map)
+            if not self.stations:
+                self.warnings.append("meteo grid has no active cells")
+
+    def export_hourly_to_grid(self, varcode: int, map2d,
+                              when: datetime.datetime, *,
+                              method: str = "average") -> np.ndarray:
+        """Aggregate a DEM-resolution map onto the meteo grid and write it
+        into the per-cell hourly tables.
+
+        Reference: Crit3DMeteoGrid::spatialAggregateMeteoGrid
+        (meteoGrid.cpp:139) followed by the hourly DB save; returns the
+        aggregated (nr_rows, nr_cols) array.
+        """
+        from criteria3d_tpu.io.meteogrid import aggregate_raster_to_grid
+        if self.meteo_grid is None:
+            raise ValueError("no meteo grid loaded (load_meteo_grid first)")
+        agg = aggregate_raster_to_grid(
+            np.asarray(map2d), self.header, self.meteo_grid.structure,
+            method=method)
+        self.meteo_grid.write_hourly_map(self.meteo_grid_cells, varcode,
+                                         when, agg)
+        return agg
+
+    # --- water table subsystem (Project::waterTableImportLocation /
+    #     waterTableImportDepths / waterTableComputeSingleWell,
+    #     project.cpp:5952-6120; project.h:169,359-361) ----------------
+
+    def watertable_import_location(self, csv_path: str) -> int:
+        """Load well locations; returns the wrong-line count."""
+        from criteria3d_tpu.physics.watertable import load_well_locations_csv
+        self.wells, wrong = load_well_locations_csv(
+            csv_path, utm_zone=self.config.utm_zone)
+        if wrong:
+            self.warnings.append(f"well locations: {wrong} wrong lines")
+        return wrong
+
+    def watertable_import_depths(self, csv_path: str,
+                                 max_depth_cm: float = 300.0) -> int:
+        """Load per-well depth observations; returns the wrong-line count."""
+        from criteria3d_tpu.physics.watertable import load_well_depths_csv
+        wrong = load_well_depths_csv(csv_path, self.wells,
+                                     max_depth_cm=max_depth_cm)
+        if wrong:
+            self.warnings.append(f"well depths: {wrong} wrong lines")
+        return wrong
+
+    def watertable_compute(self, step_days: int = 5) -> list:
+        """Fit one CWB-correlation model per well against the NEAREST
+        station's daily series (waterTableComputeSingleWell +
+        waterTableAssignNearestMeteoPoint, project.cpp:5997-6120: prec
+        observed, ET0 via daily Hargreaves from Tmin/Tmax as in
+        WaterTable::setMeteoData, waterTable.cpp:84-97).
+
+        Fills ``self.watertables`` with (well, model, station) triples for
+        every well whose fit succeeds.
+        """
+        from criteria3d_tpu.core.meteo import MeteoVariable as MV
+        from criteria3d_tpu.physics.meteo import et0_hargreaves_daily
+        from criteria3d_tpu.physics.watertable import WaterTableModel
+
+        self.watertables = []
+        daily_ok = [st for st in self.stations
+                    if st.daily_d0 is not None
+                    and MV.DAILY_TMIN in st.daily and MV.DAILY_TMAX in st.daily
+                    and MV.DAILY_PREC in st.daily]
+        if not daily_ok:
+            self.warnings.append("watertable: no station with daily series")
+            return []
+        for well in self.wells:
+            if not well.depths:
+                continue
+            st = min(daily_ok, key=lambda s: (s.utm_x - well.utm_x) ** 2
+                     + (s.utm_y - well.utm_y) ** 2)
+            tmin = np.asarray(st.daily[MV.DAILY_TMIN], float)
+            tmax = np.asarray(st.daily[MV.DAILY_TMAX], float)
+            prec = np.asarray(st.daily[MV.DAILY_PREC], float)
+            n = min(len(tmin), len(tmax), len(prec))
+            doy = np.array([
+                (st.daily_d0 + datetime.timedelta(days=int(i))).timetuple()
+                .tm_yday for i in range(n)])
+            lat = well.latitude if well.latitude != NODATA else st.latitude
+            et0 = np.asarray(et0_hargreaves_daily(
+                0.17, lat, doy, tmax[:n], tmin[:n]))
+            bad = (tmin[:n] == NODATA) | (tmax[:n] == NODATA)
+            et0 = np.where(bad, NODATA, et0)
+
+            obs_idx, obs_depth = [], []
+            for date, depth in sorted(well.depths.items()):
+                i = (date - st.daily_d0).days
+                if 0 <= i < n:
+                    obs_idx.append(i)
+                    obs_depth.append(depth)
+            model = WaterTableModel()
+            if obs_idx and model.fit(prec[:n], et0, np.asarray(obs_idx),
+                                     np.asarray(obs_depth),
+                                     step_days=step_days):
+                self.watertables.append((well, model, st))
+            else:
+                self.warnings.append(f"watertable: fit failed for well "
+                                     f"{well.id}")
+        return self.watertables
+
+    def watertable_depth_map(self, day: datetime.date) -> np.ndarray | None:
+        """(R, C) water-table depth [m] map for one day: per-well model
+        estimates spread by inverse-distance weighting over the DEM (the
+        map output of the waterTableList subsystem; depth in metres for the
+        model's lower-boundary use)."""
+        from criteria3d_tpu.core.meteo import MeteoVariable as MV
+        if not getattr(self, "watertables", None):
+            return None
+        xs, ys, ds = [], [], []
+        for well, model, st in self.watertables:
+            i = (day - st.daily_d0).days
+            prec = np.asarray(st.daily[MV.DAILY_PREC], float)
+            tmin = np.asarray(st.daily[MV.DAILY_TMIN], float)
+            tmax = np.asarray(st.daily[MV.DAILY_TMAX], float)
+            n = min(len(tmin), len(tmax), len(prec))
+            doy = np.array([
+                (st.daily_d0 + datetime.timedelta(days=int(k))).timetuple()
+                .tm_yday for k in range(n)])
+            lat = well.latitude if well.latitude != NODATA else st.latitude
+            from criteria3d_tpu.physics.meteo import et0_hargreaves_daily
+            et0 = np.asarray(et0_hargreaves_daily(
+                0.17, lat, doy, tmax[:n], tmin[:n]))
+            d = model.depth(prec[:n], et0, i)
+            if d != NODATA:
+                xs.append(well.utm_x)
+                ys.append(well.utm_y)
+                ds.append(d * 0.01)           # [cm] -> [m]
+        if not ds:
+            return None
+        gx, gy = self._grid_xy
+        gx = np.asarray(gx)[None]
+        gy = np.asarray(gy)[None]
+        xs = np.asarray(xs)[:, None, None]
+        ys = np.asarray(ys)[:, None, None]
+        w = 1.0 / np.maximum((gx - xs) ** 2 + (gy - ys) ** 2, 1.0)
+        out = (np.asarray(ds)[:, None, None] * w).sum(0) / w.sum(0)
+        valid = ~np.isclose(self.dem, self.header.nodata)
+        return np.where(valid, out, NODATA)
+
     def _station_arrays(self, var: MeteoVariable,
                         when: datetime.datetime):
         """(x, y, z, values) arrays over stations with gross QC applied
@@ -581,12 +749,14 @@ class Criteria3DProject:
         for h in range(n_hours):
             when = start + datetime.timedelta(hours=h)
             out = self.run_hour(when, write_outputs=write_outputs)
-            t_mean = float(jnp.mean(jnp.where(
-                self.grid.mask[0], out["forcing"].air_temperature, 0.0))
-                / max(float(jnp.mean(
-                    self.grid.mask[0].astype(jnp.float64))), 1e-9))
-            t_min = t_mean if t_min is None else min(t_min, t_mean)
-            t_max = t_mean if t_max is None else max(t_max, t_mean)
+            # per-cell daily Tmin/Tmax MAPS (the reference builds daily
+            # min/max maps from the hourly T maps for dailyUpdateCropMaps,
+            # criteria3DProject.cpp:1224 — a catchment-mean scalar would be
+            # spatially wrong on any catchment with relief)
+            t_map = jnp.where(self.grid.mask[0],
+                              out["forcing"].air_temperature, 0.0)
+            t_min = t_map if t_min is None else jnp.minimum(t_min, t_map)
+            t_max = t_map if t_max is None else jnp.maximum(t_max, t_map)
             if when.hour == 23:
                 self.model.daily_update(t_min, t_max, date=when.date())
                 t_min = t_max = None

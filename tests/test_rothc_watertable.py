@@ -83,3 +83,120 @@ def test_weighted_cwb_insufficient_data():
     prec = np.ones(50)
     et0 = np.ones(50)
     assert weighted_cwb(prec, et0, 40, 90, 0.0) == -9999.0
+
+
+def test_well_csv_import(tmp_path):
+    """Location + depth CSV import with the reference's error accounting
+    (importData.cpp:10-230)."""
+    from criteria3d_tpu.physics.watertable import (load_well_depths_csv,
+                                                   load_well_locations_csv)
+
+    loc = tmp_path / "wells.csv"
+    loc.write_text("ID,utmX,utmY\n"
+                   "W1,680000,4950000\n"
+                   '"W2", 681000, 4951000\n'
+                   "W1,682000,4952000\n"       # repeated id -> wrong
+                   "W3,not_a_number,4953000\n")  # bad coord -> wrong
+    wells, wrong = load_well_locations_csv(str(loc), utm_zone=32)
+    assert [w.id for w in wells] == ["W1", "W2"]
+    assert wrong == 2
+    assert wells[0].utm_x == 680000.0
+    assert 44.0 < wells[0].latitude < 45.5      # lat derived from UTM
+
+    dep = tmp_path / "depths.csv"
+    dep.write_text("ID,date,depth\n"
+                   "W1,2020-03-01,120\n"
+                   "W1,2020-04-01,140\n"
+                   "W2,2020-03-01,90\n"
+                   "W9,2020-03-01,100\n"        # unknown id -> wrong
+                   "W1,2020-05-01,9999\n"       # > max depth -> wrong
+                   "W1,bad-date,100\n")         # -> wrong
+    wrong = load_well_depths_csv(str(dep), wells)
+    assert wrong == 3
+    import datetime
+    assert wells[0].depths[datetime.date(2020, 4, 1)] == 140.0
+    assert len(wells[1].depths) == 1
+
+    # lat/lon header variant
+    loc2 = tmp_path / "wells2.csv"
+    loc2.write_text("ID,lat,lon\nA,44.8,11.6\n")
+    wells2, wrong2 = load_well_locations_csv(str(loc2), utm_zone=32)
+    assert wrong2 == 0 and wells2[0].utm_x > 0
+
+
+def test_project_watertable_subsystem(tmp_path):
+    """Project-level waterTableList (VERDICT r2 item 4): import wells,
+    fit per-well CWB models against the nearest station's daily series,
+    produce a depth map."""
+    import datetime
+
+    import jax.numpy as jnp
+
+    from criteria3d_tpu.core.meteo import MeteoStation, MeteoVariable as MV
+    from criteria3d_tpu.physics.meteo import et0_hargreaves_daily
+    from criteria3d_tpu.physics.watertable import WaterTableModel, weighted_cwb
+    from criteria3d_tpu.project import Criteria3DProject
+    from criteria3d_tpu.io.config import ProjectConfig
+
+    rng = np.random.default_rng(7)
+    n = 900
+    d0 = datetime.date(2018, 1, 1)
+    doy = np.array([(d0 + datetime.timedelta(days=int(i))).timetuple().tm_yday
+                    for i in range(n)])
+    tmin = 5.0 + 8.0 * np.sin(2 * np.pi * (doy - 120) / 365) \
+        + rng.normal(0, 1.5, n)
+    tmax = tmin + 8.0 + rng.normal(0, 1.0, n)
+    prec = np.where(rng.random(n) < 0.3, rng.gamma(2.0, 4.0, n), 0.0)
+    et0 = np.asarray(et0_hargreaves_daily(0.17, 44.8, doy, tmax, tmin))
+
+    st = MeteoStation(id="S1", name="S1", latitude=44.8, longitude=11.6,
+                      utm_x=680500.0, utm_y=4950500.0, altitude=10.0)
+    st.daily_d0 = d0
+    st.daily = {MV.DAILY_TMIN: tmin, MV.DAILY_TMAX: tmax, MV.DAILY_PREC: prec}
+
+    # synthetic truth: depth = h0 + alpha * CWB(nr_days=180)
+    truth = WaterTableModel(h0=150.0, alpha=-1.2, nr_days=180,
+                            avg_daily_cwb=float(np.mean(prec - et0)))
+    obs_dates, obs_depths = [], []
+    for i in range(750, 900, 15):
+        x = weighted_cwb(prec, et0, i, 180, truth.avg_daily_cwb)
+        obs_dates.append(d0 + datetime.timedelta(days=i))
+        obs_depths.append(truth.h0 + truth.alpha * x)
+
+    loc = tmp_path / "wells.csv"
+    loc.write_text("ID,utmX,utmY\nW1,680600,4950600\n")
+    dep = tmp_path / "depths.csv"
+    dep.write_text("ID,date,depth\n" + "\n".join(
+        f"W1,{d},{v:.1f}" for d, v in zip(obs_dates, obs_depths)))
+
+    dem = np.full((8, 8), 10.0)
+    from criteria3d_tpu.io.esri import RasterHeader
+    hdr = RasterHeader(nrows=8, ncols=8, xllcorner=680560.0,
+                       yllcorner=4950560.0, cellsize=10.0, nodata=-9999.0)
+    prj = Criteria3DProject(config=ProjectConfig(utm_zone=32), dem=dem,
+                            header=hdr)
+    prj.warnings = []
+    prj.stations = [st]
+    gx = hdr.xllcorner + (np.arange(8) + 0.5) * 10.0
+    gy = hdr.yllcorner + (8 - 0.5 - np.arange(8)) * 10.0
+    prj._grid_xy = (jnp.asarray(np.broadcast_to(gx[None], (8, 8))),
+                    jnp.asarray(np.broadcast_to(gy[:, None], (8, 8))))
+
+    assert prj.watertable_import_location(str(loc)) == 0
+    assert prj.watertable_import_depths(str(dep)) == 0
+    fits = prj.watertable_compute()
+    assert len(fits) == 1
+    well, model, used_st = fits[0]
+    assert used_st.id == "S1"
+    assert model.r2 > 0.95                      # recovers the synthetic law
+    assert abs(model.nr_days - 180) <= 10
+    assert model.alpha == pytest.approx(-1.2, rel=0.15)
+
+    dmap = prj.watertable_depth_map(obs_dates[-1])
+    assert dmap is not None and dmap.shape == (8, 8)
+    # single well -> uniform map equal to the well's estimate, in metres
+    assert 0.5 < dmap[4, 4] < 3.0
+    est = model.depth(prec, et0, (obs_dates[-1] - d0).days) * 0.01
+    # the map path derives latitude from the well's UTM position, the
+    # hand-check from the station's nominal latitude -> cm-level agreement
+    assert dmap[4, 4] == pytest.approx(est, abs=1e-2)

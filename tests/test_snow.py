@@ -86,3 +86,20 @@ def test_albedo_ages():
     for _ in range(24):
         state, _ = snow_step(state, forcing(air_t=-5.0, prec=0.0))
     assert float(state.age[0, 0]) == pytest.approx(1.0, abs=0.05)
+
+
+def test_free_water_skip():
+    """Cells with >100 mm free surface water never hold a snowpack; the
+    whole precipitation passes through as rain (snow.cpp:168-190)."""
+    state = SnowState.zero(SHAPE)
+    sw = jnp.zeros(SHAPE).at[1, 1].set(150.0).at[2, 2].set(50.0)
+    f = forcing(air_t=-5.0, prec=3.0, sw=sw)
+    s, out = snow_step(state, f)
+    for _ in range(5):
+        s, out = snow_step(s, f)
+    swe = np.asarray(s.swe)
+    assert swe[1, 1] == 0.0                      # river cell: no pack
+    assert swe[0, 0] > 5.0 and swe[2, 2] > 5.0   # dry + mildly ponded: snow
+    assert float(out["rain"][1, 1]) == pytest.approx(3.0)   # passthrough
+    assert float(out["snow_fall"][1, 1]) == 0.0
+    assert float(s.age[1, 1]) == NODATA
