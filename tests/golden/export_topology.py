@@ -36,7 +36,8 @@ def node_index_map(grid: Grid) -> np.ndarray:
 
 
 def export_topology(path: str, grid: Grid, psi0: np.ndarray, sink: np.ndarray,
-                    params, hours: int, heat: dict | None = None) -> np.ndarray:
+                    params, hours: int, heat: dict | None = None,
+                    schedule: list | None = None) -> np.ndarray:
     """Write the topology file; returns the node index map.
 
     ``heat`` optionally enables the reference heat process: a dict with
@@ -44,6 +45,12 @@ def export_topology(path: str, grid: Grid, psi0: np.ndarray, sink: np.ndarray,
     net_irradiance (+ optional height_wind, height_temperature, roughness).
     Nodes whose ``grid.btype`` is HEAT_SURFACE (8) get the atmospheric heat
     boundary (reference setNodeBoundary* setters).
+
+    Prescribed-potential boundaries (btype 4) export their
+    ``grid.prescribed_h`` (PRESC section -> setNodePrescribedTotalPotential)
+    and culvert outlets (btype 7) their ``grid.culvert_*`` geometry
+    (CULVERTS section -> setCulvert). ``schedule`` is an optional per-hour
+    sink multiplier list (SCHEDULE section) for storm-then-drainage soaks.
     """
     mask = np.asarray(grid.mask)
     z = np.asarray(grid.z)
@@ -126,6 +133,32 @@ def export_topology(path: str, grid: Grid, psi0: np.ndarray, sink: np.ndarray,
                 f"{params.max_iterations} {params.max_approximations} "
                 f"{tol_exp} {mbr_exp} {params.lateral_vertical_ratio:.17g}\n")
         f.write(f"HOURS {hours}\n")
+
+        presc_h = np.asarray(grid.prescribed_h)
+        presc = [(idx[l, r, c], presc_h[l, r, c])
+                 for (l, r, c) in zip(*np.nonzero(
+                     mask & (btype == BoundaryType.PRESCRIBED_TOTAL_POTENTIAL)))]
+        if presc:
+            f.write(f"PRESC {len(presc)}\n")
+            for i, v in presc:
+                f.write(f"{i} {v:.17g}\n")
+
+        cw = np.asarray(grid.culvert_w)
+        ch = np.asarray(grid.culvert_h)
+        cr = np.asarray(grid.culvert_rough)
+        culverts = [(idx[0, r, c], cr[r, c], bslope[0, r, c], cw[r, c],
+                     ch[r, c])
+                    for (r, c) in zip(*np.nonzero(
+                        mask[0] & (btype[0] == BoundaryType.CULVERT)))]
+        if culverts:
+            f.write(f"CULVERTS {len(culverts)}\n")
+            for i, ro, sl, w, h in culverts:
+                f.write(f"{i} {ro:.17g} {sl:.17g} {w:.17g} {h:.17g}\n")
+
+        if schedule is not None:
+            f.write(f"SCHEDULE {len(schedule)}\n")
+            f.write(" ".join(f"{m:.17g}" for m in schedule) + "\n")
+
         if heat is not None:
             f.write("HEAT {} {} {:.17g} {:.17g} {:.17g} {:.17g} {:.17g} "
                     "{:.17g} {:.17g} {:.17g}\n".format(

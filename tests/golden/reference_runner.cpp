@@ -122,18 +122,55 @@ int main(int argc, char** argv) {
     if (std::fscanf(f, "%63s %u", tag, &hours) != 2 || std::strcmp(tag, "HOURS"))
         die("bad HOURS header");
 
-    // optional heat section: HEAT <vapor> <advection> <initT> <airT> <RH>
-    //                             <wind> <netIrr> <hWind> <hT> <z0>
+    // optional sections, any order:
+    //   PRESC <k>      then k lines "<idx> <totalPotential>"
+    //   CULVERTS <k>   then k lines "<idx> <rough> <slope> <width> <height>"
+    //   SCHEDULE <h>   then h sink multipliers (storm-then-drainage soaks)
+    //   HEAT <vapor> <advection> <initT> <airT> <RH> <wind> <netIrr>
+    //        <hWind> <hT> <z0>
     bool withHeat = false;
     int heatVapor = 0, heatAdv = 0;
     double initT = 0, airT = 0, rhAir = 0, windS = 0, netIrr = 0;
     double hWind = 10.0, hTemp = 2.0, rough0 = 0.01;
-    if (std::fscanf(f, "%63s", tag) == 1 && std::strcmp(tag, "HEAT") == 0) {
-        if (std::fscanf(f, "%d %d %lf %lf %lf %lf %lf %lf %lf %lf",
-                        &heatVapor, &heatAdv, &initT, &airT, &rhAir, &windS,
-                        &netIrr, &hWind, &hTemp, &rough0) != 10)
-            die("bad HEAT record");
-        withHeat = true;
+    struct PrescRec { unsigned idx; double value; };
+    struct CulvertRec { unsigned idx; double rough, slope, w, h; };
+    std::vector<PrescRec> prescs;
+    std::vector<CulvertRec> culverts;
+    std::vector<double> schedule;
+    while (std::fscanf(f, "%63s", tag) == 1) {
+        if (std::strcmp(tag, "HEAT") == 0) {
+            if (std::fscanf(f, "%d %d %lf %lf %lf %lf %lf %lf %lf %lf",
+                            &heatVapor, &heatAdv, &initT, &airT, &rhAir,
+                            &windS, &netIrr, &hWind, &hTemp, &rough0) != 10)
+                die("bad HEAT record");
+            withHeat = true;
+        } else if (std::strcmp(tag, "PRESC") == 0) {
+            unsigned k;
+            if (std::fscanf(f, "%u", &k) != 1) die("bad PRESC header");
+            prescs.resize(k);
+            for (unsigned i = 0; i < k; ++i)
+                if (std::fscanf(f, "%u %lf", &prescs[i].idx,
+                                &prescs[i].value) != 2)
+                    die("bad PRESC record");
+        } else if (std::strcmp(tag, "CULVERTS") == 0) {
+            unsigned k;
+            if (std::fscanf(f, "%u", &k) != 1) die("bad CULVERTS header");
+            culverts.resize(k);
+            for (unsigned i = 0; i < k; ++i)
+                if (std::fscanf(f, "%u %lf %lf %lf %lf", &culverts[i].idx,
+                                &culverts[i].rough, &culverts[i].slope,
+                                &culverts[i].w, &culverts[i].h) != 5)
+                    die("bad CULVERTS record");
+        } else if (std::strcmp(tag, "SCHEDULE") == 0) {
+            unsigned k;
+            if (std::fscanf(f, "%u", &k) != 1) die("bad SCHEDULE header");
+            schedule.resize(k);
+            for (unsigned i = 0; i < k; ++i)
+                if (std::fscanf(f, "%lf", &schedule[i]) != 1)
+                    die("bad SCHEDULE record");
+        } else {
+            die("unknown section tag");
+        }
     }
     std::fclose(f);
 
@@ -201,10 +238,31 @@ int main(int argc, char** argv) {
         }
     }
 
+    for (auto& p : prescs)
+        check(setNodePrescribedTotalPotential(p.idx, p.value),
+              "setNodePrescribedTotalPotential");
+    if (! culverts.empty()) {
+        // upstream bug: initializeSF3D never allocates nodeGrid.culvertPtr
+        // (the hostAlloc at soilFluxes3D.cpp:146 is commented out), so both
+        // setCulvert (write, soilFluxes3D.cpp:586) and the water culvert
+        // branch (read, water.cpp:750-755) dereference null. Allocate the
+        // array here, driver-side, keeping the reference sources unmodified.
+        nodeGrid.culvertPtr = new culvertData_t*[n]();
+        for (auto& c : culverts)
+            check(setCulvert(c.idx, c.rough, c.slope, c.w, c.h), "setCulvert");
+    }
+
     check(initializeBalance(), "initializeBalance");
 
     const bool debugDt = std::getenv("REF_DEBUG_DT") != nullptr;
     for (unsigned h = 0; h < hours; ++h) {
+        if (! schedule.empty()) {
+            // per-hour sink multiplier (storm-then-drainage soak scenarios)
+            double mult = h < schedule.size() ? schedule[h] : 0.0;
+            for (auto& r : nodes)
+                check(setNodeWaterSinkSource(r.idx, r.sink * mult),
+                      "setNodeWaterSinkSource(schedule)");
+        }
         if (debugDt) {
             // computePeriod inlined so each accepted dt can be reported
             double sum = 0.0;

@@ -143,3 +143,95 @@ class TestReferenceParity:
         grid, params, psi0, sink = case_hillslope(rain=10.0)
         compare(grid, params, psi0, sink, 2, tmp_path, "hillslope",
                 atol=1e-6)
+
+
+def case_soak(n=8):
+    """Mixed-BC soak domain: tilted valley with runoff rim, free-drainage
+    bottom, a culvert outlet at the lowest cell and a prescribed-head
+    column on the east edge (VERDICT r2 item 6)."""
+    rows, cols = np.mgrid[0:n, 0:n]
+    dem = 40.0 + (n - 1 - rows) * 0.25 + np.abs(cols - n // 2) * 0.15
+    soil = SoilFields.uniform(dem.shape, vg_alpha=1.3, vg_n=1.45, vg_he=0.02,
+                              theta_s=0.42, theta_r=0.05, k_sat=8e-6)
+    grid = Grid.build(dem, 5.0, soil, total_depth=0.5)
+
+    # culvert at the lowest surface cell (0.4 x 0.3 m, rough concrete)
+    low = np.unravel_index(
+        np.argmin(np.where(np.asarray(grid.mask[0]), dem, np.inf)), dem.shape)
+    grid = grid.set_culvert(int(low[0]), int(low[1]), roughness=0.013,
+                            slope=0.05, width=0.4, height=0.3)
+
+    # prescribed total potential on the deepest-layer nodes of column 0
+    # (a fixed water table 0.2 m below the node)
+    btype = np.asarray(grid.btype).copy()
+    presc = np.asarray(grid.prescribed_h).copy()
+    L = grid.n_layers
+    z = np.asarray(grid.z)
+    mask = np.asarray(grid.mask)
+    for r in range(n):
+        l = L - 1
+        if mask[l, r, 0]:
+            btype[l, r, 0] = BoundaryType.PRESCRIBED_TOTAL_POTENTIAL
+            presc[l, r, 0] = z[l, r, 0] - 0.2
+    grid = dataclasses.replace(grid, btype=jnp.asarray(btype),
+                               prescribed_h=jnp.asarray(presc))
+
+    params = SolverParameters()
+    psi0 = np.full(grid.shape, -1.2)
+    psi0[0] = 0.0
+    base_sink = np.zeros(grid.shape)
+    base_sink[0] = np.where(np.asarray(grid.mask[0]),
+                            10.0 * float(grid.area) / 3600.0 / 1000.0, 0.0)
+    return grid, params, psi0, base_sink
+
+
+def compare_scheduled(grid, params, psi0, base_sink, schedule, tmp_path,
+                      name, atol):
+    """Like compare() but with a per-hour sink multiplier schedule driven
+    identically on both sides."""
+    topo = str(tmp_path / f"{name}.txt")
+    out = str(tmp_path / f"{name}_out.txt")
+    idx = export_topology(topo, grid, psi0, base_sink, params, len(schedule),
+                          schedule=schedule)
+    ref = run_reference(topo, out)
+
+    state = WaterState.initialize(grid, params,
+                                  matric_potential=jnp.asarray(psi0))
+    state = initialize_balance(grid, params, state)
+
+    mask = np.asarray(grid.mask)
+    max_err = np.zeros(len(schedule))
+    for h, mult in enumerate(schedule):
+        state = dataclasses.replace(
+            state, sink_source=jnp.asarray(base_sink * mult))
+        state = compute_period(grid, params, state, 3600.0)
+        ours = np.asarray(state.h)
+        ref_h = ref[h]
+        for (l, r, c) in zip(*np.nonzero(mask)):
+            i = idx[l, r, c]
+            max_err[h] = max(max_err[h], abs(ours[l, r, c] - ref_h[i]))
+    assert max_err.max() < atol, \
+        f"{name}: max |H - H_ref| per hour = {np.array2string(max_err, precision=2)}"
+    return max_err
+
+
+from criteria3d_tpu.core.grid import BoundaryType  # noqa: E402
+
+
+@pytest.mark.skipif(not REF_AVAILABLE, reason="reference tree not mounted")
+class TestReferenceParitySoak:
+    """24-hour storm + drainage soak with every water BC type active —
+    guards the adaptive-dt state machine against drift while perf work
+    touches the hot path (VERDICT r2 item 6)."""
+
+    @classmethod
+    def setup_class(cls):
+        if not ensure_runner():
+            pytest.skip("reference solver build failed")
+
+    def test_soak_24h_mixed_bc(self, tmp_path):
+        grid, params, psi0, base_sink = case_soak()
+        # 6 h of 10 mm/h storm, then 18 h of drainage
+        schedule = [1.0] * 6 + [0.0] * 18
+        compare_scheduled(grid, params, psi0, base_sink, schedule, tmp_path,
+                          "soak24", atol=1e-5)
