@@ -125,20 +125,27 @@ def main():
     # block_until_ready alone does not guarantee execution finished.
     # The remote chip is time-shared: identical cached programs have been
     # observed anywhere between 4.7 s (device-bound, profiler-verified)
-    # and ~570 s under contention, so report the BEST of up to 3 runs
-    # (skipping the repeats when a run is already slow keeps the worst
-    # case bounded).
+    # and ~570 s under contention, so report the MEDIAN of up to 5 runs
+    # (VERDICT r2 weak-item 7: a single cold/contended run must not
+    # masquerade either way; per-run times stay in the artifact). Repeats
+    # stop early once two runs agree within 5% — the chip is quiet and
+    # more samples only burn shared TPU time.
     runs = []
     mbr_value = None
-    for attempt in range(3):
+    for attempt in range(5):
         t0 = time.time()
         out, stats = compiled(grid, state, 3600.0)
         mbr_value = float(out.balance_whole.mbr)
         n_steps, n_attempts, n_approx, n_sweeps = (int(s) for s in stats)
         runs.append(time.time() - t0)
-        if runs[-1] > 60.0 and attempt > 0:
+        if attempt > 0 and runs[-1] > 60.0:
             break
-    wall_s = min(runs)
+        srt = sorted(runs)
+        if len(runs) >= 2 and srt[1] <= srt[0] * 1.05:
+            break
+    srt = sorted(runs)
+    wall_s = srt[len(srt) // 2] if len(srt) % 2 else \
+        0.5 * (srt[len(srt) // 2 - 1] + srt[len(srt) // 2])
 
     ref_wall = reference_wall_s(coarsen)
     vs_baseline = round(ref_wall / wall_s, 3) if ref_wall else None

@@ -1,7 +1,9 @@
 """NetCDF raster read/export (reference: agrolib/netcdfHandler/netcdfHandler.{h,cpp}).
 
-NetCDF-3 classic files via scipy.io.netcdf_file (no external netcdf-c
-dependency). Covers the reference handler's model-facing capabilities:
+NetCDF-3 classic files via scipy.io.netcdf_file, NetCDF-4 (HDF5-backed,
+the format most real-world gridded inputs use today — the reference links
+libnetcdf, netcdfHandler.h:25) via h5py with the netCDF-4 dimension-scale
+conventions. Covers the reference handler's model-facing capabilities:
 
 * ``NetCDFHandler.read(path)`` — detect UTM (x/y) vs lat-lon grids, time
   axis (hours/days since epoch), variable inventory with long_name/units,
@@ -46,7 +48,68 @@ class NetCDFVariable:
 def _decode(value) -> str:
     if isinstance(value, bytes):
         return value.decode("utf-8", "replace")
+    if isinstance(value, np.ndarray) and value.dtype.kind in "SU":
+        return _decode(value.ravel()[0])
     return str(value)
+
+
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+
+class _H5Var:
+    """Adapter giving an h5py Dataset the scipy netcdf_file variable
+    surface used by NetCDFHandler (slicing, .dimensions, attrs)."""
+
+    def __init__(self, ds):
+        self._ds = ds
+
+    def __getitem__(self, key):
+        return self._ds[key]
+
+    @property
+    def dimensions(self) -> tuple:
+        names = []
+        for dim in self._ds.dims:
+            label = dim.label
+            if not label and len(dim) > 0:
+                label = dim[0].name.split("/")[-1]
+            names.append(label)
+        return tuple(names)
+
+    def __getattr__(self, name):
+        # attribute access mirrors scipy's netcdf variables (long_name,
+        # units, missing_value, _FillValue)
+        try:
+            return self._ds.attrs[name]
+        except KeyError:
+            raise AttributeError(name)
+
+
+class _H5File:
+    """NetCDF-4 (HDF5) file presented through the scipy netcdf_file
+    surface NetCDFHandler.read consumes. Dimension scales (the netCDF-4
+    convention: datasets with CLASS=DIMENSION_SCALE) become
+    ``dimensions``; every dataset in the root group becomes a variable
+    (netCDF-4 classic model keeps all variables in the root group)."""
+
+    def __init__(self, path: str):
+        try:
+            import h5py
+        except ImportError as e:      # pragma: no cover - env guard
+            raise ImportError(
+                "reading NetCDF-4/HDF5 files requires h5py") from e
+        self._f = h5py.File(path, "r")
+        self.variables: dict = {}
+        self.dimensions: dict = {}
+        for name, obj in self._f.items():
+            if not isinstance(obj, h5py.Dataset):
+                continue
+            self.variables[name] = _H5Var(obj)
+            if obj.attrs.get("CLASS", b"") == b"DIMENSION_SCALE":
+                self.dimensions[name] = obj.shape[0] if obj.ndim else 0
+
+    def close(self) -> None:
+        self._f.close()
 
 
 class NetCDFHandler:
@@ -72,7 +135,12 @@ class NetCDFHandler:
 
     def read(self, path: str) -> "NetCDFHandler":
         self.path = path
-        nc = netcdf_file(path, "r", mmap=False)
+        with open(path, "rb") as f:
+            magic = f.read(8)
+        if magic.startswith(_HDF5_MAGIC):
+            nc = _H5File(path)          # NetCDF-4 (HDF5-backed)
+        else:
+            nc = netcdf_file(path, "r", mmap=False)
         self._nc = nc
         dim_names = set(nc.dimensions)
         for name, var in nc.variables.items():

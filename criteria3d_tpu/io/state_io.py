@@ -31,7 +31,8 @@ from criteria3d_tpu.physics.snow import SnowState
 from criteria3d_tpu.solver import water as W
 from criteria3d_tpu.solver.step import initialize_balance
 
-__all__ = ["save_state", "load_state", "state_dir_name"]
+__all__ = ["save_state", "load_state", "state_dir_name",
+           "save_inhour_state", "load_inhour_state"]
 
 SNOW_FIELDS = ("swe", "ice", "liquid", "internal_energy", "surface_energy",
                "surface_temp", "age")
@@ -124,3 +125,46 @@ def load_state(path: str, grid: Grid, params: SolverParameters):
             extras[name] = jnp.asarray(np.where(np.isclose(data, NODATA),
                                                 0.0, data))
     return water, snow, extras
+
+
+# ----------------------------------------------------------------------
+# in-hour restart (full-precision): the reference pauses mid-hour and
+# resumes at currentSeconds (runModelHour isRestart,
+# criteria3DProject.cpp:2020; runWaterFluxes3DModel project3D.cpp:1307).
+# The per-layer WP rasters are float32 — fine for the hour-granularity
+# scheme above, but an IN-hour resume must reproduce the uninterrupted
+# trajectory, so the full WaterState pytree is persisted in f64.
+# ----------------------------------------------------------------------
+
+_BALANCES = ("balance_prev", "balance_current", "balance_period",
+             "balance_whole")
+_BAL_SCALARS = ("storage", "sink_source", "mbe", "mbr")
+_ARRAY_FIELDS = ("h", "h_old", "best_h", "se", "k", "sink_source", "pond",
+                 "boundary_flow_sum", "link_flow_sum", "dt_curr", "courant")
+
+
+def save_inhour_state(path: str, water: WaterState,
+                      elapsed_seconds: float) -> None:
+    """Persist the mid-hour solver state + elapsed seconds (one .npz)."""
+    arrays = {f: np.asarray(getattr(water, f)) for f in _ARRAY_FIELDS}
+    for b in _BALANCES:
+        bal = getattr(water, b)
+        for s in _BAL_SCALARS:
+            arrays[f"{b}.{s}"] = np.asarray(getattr(bal, s))
+    arrays["elapsed_seconds"] = np.asarray(float(elapsed_seconds))
+    np.savez(path, **arrays)
+
+
+def load_inhour_state(path: str) -> tuple[WaterState, float]:
+    """Restore a mid-hour checkpoint. Returns (water, elapsed_seconds);
+    resume the hour with ``compute_period_stats(..., period_seconds=3600,
+    start_seconds=elapsed)``."""
+    from criteria3d_tpu.core.state import BalanceData
+
+    with np.load(path if str(path).endswith(".npz") else f"{path}.npz") as z:
+        kw = {f: jnp.asarray(z[f]) for f in _ARRAY_FIELDS}
+        for b in _BALANCES:
+            kw[b] = BalanceData(**{s: jnp.asarray(z[f"{b}.{s}"])
+                                   for s in _BAL_SCALARS})
+        elapsed = float(z["elapsed_seconds"])
+    return WaterState(**kw), elapsed

@@ -535,19 +535,29 @@ def compute_step(grid: Grid, params: SolverParameters, state: WaterState,
 
 @partial(jax.jit, static_argnames=("params",))
 def compute_period_stats(grid: Grid, params: SolverParameters,
-                         state: WaterState, period_seconds):
+                         state: WaterState, period_seconds,
+                         start_seconds=0.0):
     """Like :func:`compute_period` but also returns solver-effort
     diagnostics ``(n_steps, n_attempts, n_approximations, n_sweeps)`` —
-    the per-hour breakdown the benchmark reports."""
+    the per-hour breakdown the benchmark reports.
+
+    ``start_seconds`` > 0 RESUMES a partially-computed period (the
+    reference's isRestart path, criteria3DProject.cpp:2020 +
+    runWaterFluxes3DModel's ``currentSeconds``, project3D.cpp:1307-1360):
+    the period sink counter is kept instead of reset and stepping
+    continues from the checkpointed elapsed time."""
     dtype = params.dtype
     period = jnp.asarray(period_seconds, dtype)
+    start = jnp.asarray(start_seconds, dtype)
 
-    # reset period sink/source counter
+    # reset the period sink/source counter — unless resuming mid-period
     bp = state.balance_period
+    fresh = start <= 0.0
     state = dataclasses.replace(
         state,
-        balance_period=BalanceData(bp.storage, jnp.zeros((), dtype),
-                                   bp.mbe, bp.mbr))
+        balance_period=BalanceData(
+            bp.storage, jnp.where(fresh, 0.0, bp.sink_source),
+            bp.mbe, bp.mbr))
 
     def cond(c):
         st, t, _ = c
@@ -562,7 +572,7 @@ def compute_period_stats(grid: Grid, params: SolverParameters,
 
     z32 = jnp.zeros((), jnp.int32)
     state, _, stats = lax.while_loop(
-        cond, body, (state, jnp.zeros((), dtype), (z32, z32, z32, z32)))
+        cond, body, (state, start, (z32, z32, z32, z32)))
 
     # close the period (water.cpp:143-156)
     cur, per, whole = state.balance_current, state.balance_period, state.balance_whole
