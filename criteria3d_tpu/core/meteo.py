@@ -263,3 +263,62 @@ class ClimateParameters:
                 return NODATA
             return 0.5 * (lo + hi)
         return NODATA
+
+    def climate_var(self, var: MeteoVariable, month: int, height: float,
+                    ref_height: float = 300.0) -> float:
+        """Monthly climate normal lapse-adjusted to ``height``
+        (getClimateVar, meteo.cpp:243-270; DEF_VALUE_REF_HEIGHT 300 m,
+        quality.h:13)."""
+        series = {MeteoVariable.DAILY_TMIN: self.tmin,
+                  MeteoVariable.DAILY_TMAX: self.tmax,
+                  MeteoVariable.DAILY_RHMIN: self.tdmin,
+                  MeteoVariable.DAILY_RHMAX: self.tdmax}.get(var)
+        if not series:
+            return NODATA
+        value = float(series[month - 1])
+        if value != NODATA and height != NODATA:
+            rate = {MeteoVariable.DAILY_TMIN: self.tmin_lapserate,
+                    MeteoVariable.DAILY_TMAX: self.tmax_lapserate,
+                    MeteoVariable.DAILY_RHMIN: self.tdmin_lapserate,
+                    MeteoVariable.DAILY_RHMAX: self.tdmax_lapserate}[var]
+            if rate:
+                value += float(rate[month - 1]) * (height - ref_height)
+        return value
+
+
+# hourly climate-consistency ranges relative to the monthly normals
+# (Crit3DQuality ctor, quality.cpp:43-44)
+_QUALITY_HOURLY_T = (-60.0, 60.0)
+_QUALITY_HOURLY_TD = (-60.0, 50.0)
+
+
+def check_fast_value_hourly(var: MeteoVariable,
+                            climate: "ClimateParameters | None",
+                            value: float, month: int, height: float) -> bool:
+    """Climate-based plausibility of one hourly value: True = accepted.
+
+    Reference: Crit3DQuality::checkFastValueHourly_SingleValue /
+    wrongValueHourly_SingleValue (quality.cpp:272-330): air temperature
+    must lie within the hourly consistency range anchored on the monthly
+    Tmin/Tmax normals lapse-adjusted to the station height; dew point
+    likewise on the Td normals; other variables fall back to the plain
+    quality range.
+    """
+    if value == NODATA:
+        return False
+    if climate is not None and var == MeteoVariable.AIR_TEMPERATURE:
+        tmin_c = climate.climate_var(MeteoVariable.DAILY_TMIN, month, height)
+        tmax_c = climate.climate_var(MeteoVariable.DAILY_TMAX, month, height)
+        if tmin_c != NODATA and tmax_c != NODATA:
+            return (_QUALITY_HOURLY_T[0] + tmin_c <= value
+                    <= _QUALITY_HOURLY_T[1] + tmax_c)
+    if climate is not None and var == MeteoVariable.AIR_DEW_TEMPERATURE:
+        td_min = climate.climate_var(MeteoVariable.DAILY_RHMIN, month, height)
+        td_max = climate.climate_var(MeteoVariable.DAILY_RHMAX, month, height)
+        if td_min != NODATA and td_max != NODATA:
+            return (_QUALITY_HOURLY_TD[0] + td_min <= value
+                    <= _QUALITY_HOURLY_TD[1] + td_max)
+    rng = QUALITY_RANGES.get(var)
+    if rng is not None:
+        return rng.vmin <= value <= rng.vmax
+    return True

@@ -533,6 +533,7 @@ class Criteria3DProject:
                         when: datetime.datetime):
         """(x, y, z, values) arrays over stations with gross QC applied
         (checkAndPassDataToInterpolation, spatialControl.cpp:102-334)."""
+        from criteria3d_tpu.core.meteo import check_fast_value_hourly
         xs, ys, zs, vs = [], [], [], []
         rng = QUALITY_RANGES.get(var)
         for st in self.stations:
@@ -541,6 +542,12 @@ class Criteria3DProject:
             v = st.hourly_value(var, when)
             if v != NODATA and rng is not None and \
                     not (rng.vmin <= v <= rng.vmax):
+                v = NODATA
+            # climate-consistency gate on temperature-like values: hourly
+            # range anchored on the monthly normals lapse-adjusted to the
+            # station height (checkFastValueHourly, quality.cpp:272-330)
+            if v != NODATA and not check_fast_value_hourly(
+                    var, self.climate, v, when.month, st.altitude):
                 v = NODATA
             xs.append(st.utm_x)
             ys.append(st.utm_y)

@@ -35,19 +35,19 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
     on failure; 16 sub-steps cover dtWater down to dtWater/16 < dtMin for
     any practical configuration).
     """
-    import dataclasses as _dc
-
     # temperature-gradient water fluxes (thermal liquid + vapor) enter the
-    # water RHS while heat is active (computeLinkFluxes, water.cpp:329-341);
-    # evaluated at the start-of-step state (the reference re-evaluates per
-    # Picard iteration — docs/DEVIATIONS.md)
-    user_sink = water.sink_source
-    thermal_flux = H.thermal_water_invariant_flux(grid, params, heat_state,
-                                                  water)
-    water = _dc.replace(water, sink_source=user_sink + thermal_flux)
+    # water RHS while heat is active, re-evaluated at EVERY Picard
+    # iteration from the current (h, k) iterate — the invariantFluxes
+    # mechanism (computeLinkFluxes water.cpp:329-341, RHS add
+    # cpusolver.cpp:388). Like the reference, they are excluded from the
+    # balance sink sums (computeWaterSinkSourceFlowsSum reads waterFlow
+    # only).
+    def thermal_flux(h, k):
+        return H.thermal_water_flux(grid, params, heat_state, h, k)
+
     water_new, dt_water, _ = _compute_step(
-        grid, params, water, jnp.asarray(max_time_step, params.dtype))
-    water_new = _dc.replace(water_new, sink_source=user_sink)
+        grid, params, water, jnp.asarray(max_time_step, params.dtype),
+        extra_flux_fn=thermal_flux)
 
     def cond(c):
         heat_s, t_done, dt_heat, it = c

@@ -356,11 +356,21 @@ def thermal_water_invariant_flux(grid: Grid, params: SolverParameters,
     temperature (getNodeMeanTemperature) — the reference re-evaluates per
     Picard iteration (docs/DEVIATIONS.md item 16).
     """
+    return thermal_water_flux(grid, params, heat, water.h, water.k)
+
+
+def thermal_water_flux(grid: Grid, params: SolverParameters,
+                       heat: HeatState, h, k):
+    """Like :func:`thermal_water_invariant_flux` but from an explicit
+    (h, k) iterate — the per-Picard-iteration form: the reference
+    accumulates these into invariantFluxes during EVERY matrix assembly
+    (computeLinkFluxes, water.cpp:329-341; RHS add cpusolver.cpp:388),
+    re-evaluating the conductivities at the current iterate."""
     heat_mask = grid.mask.at[0].set(False)
     t_mean = compute_mean(heat.t, heat.t_old, MeanType.ARITHMETIC)
-    h_signed = water.h - grid.z
+    h_signed = h - grid.z
 
-    tlk = thermal_liquid_conductivity(t_mean - ZEROCELSIUS, h_signed, water.k)
+    tlk = thermal_liquid_conductivity(t_mean - ZEROCELSIUS, h_signed, k)
     flux = _link_sum(grid, tlk, t_mean, heat_mask, params.mean_type)
     if params.heat_vapor:
         tvk = thermal_vapor_conductivity(grid, params, t_mean, h_signed)

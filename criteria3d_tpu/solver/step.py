@@ -262,9 +262,15 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
                         h: jax.Array, h_old: jax.Array, se: jax.Array,
                         sink_source: jax.Array, pond: jax.Array,
                         prev_storage: jax.Array, dt: jax.Array,
-                        dt_curr: jax.Array) -> _ApproxCarry:
+                        dt_curr: jax.Array,
+                        extra_flux_fn=None) -> _ApproxCarry:
     """One attempt at time step ``dt`` (waterApproximationLoop,
-    cpusolver.cpp:392-468)."""
+    cpusolver.cpp:392-468).
+
+    ``extra_flux_fn(h, k) -> (L,R,C) [m3 s-1]`` is the invariantFluxes
+    mechanism (water.cpp:329-341, cpusolver.cpp:388): heat-coupling water
+    flows re-evaluated at EVERY Picard iteration, entering the RHS but not
+    the balance sums."""
     dtype = params.dtype
     zero = jnp.zeros((), dtype)
     fast = (params.sweep_dtype is not None
@@ -342,14 +348,16 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
             # single fused f32 psi-form pass (capacity + boundary + stencil)
             system, flow, rate, k = W.assemble_fast(
                 grid, params, carry.h, h_old, psi_old32, carry.se,
-                sink_source, pond, approx, dt)
+                sink_source, pond, approx, dt, extra_flux_fn=extra_flux_fn)
         else:
             capacity, k = W.compute_capacity(grid, params, carry.h, h_old,
                                              carry.se)
             flow, rate = W.update_boundary_water(
                 grid, params, carry.h, h_old, k, sink_source, pond, dt)
+            flow_rhs = flow if extra_flux_fn is None else \
+                flow + extra_flux_fn(carry.h, k)
             system = W.assemble_system(
-                grid, params, carry.h, h_old, k, flow, capacity, pond,
+                grid, params, carry.h, h_old, k, flow_rhs, capacity, pond,
                 approx, dt)
 
         courant_fail = jnp.logical_and(system.courant >= 1.01,
@@ -437,7 +445,7 @@ class _StepCarry(NamedTuple):
 
 
 def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
-                  max_time_step: jax.Array):
+                  max_time_step: jax.Array, extra_flux_fn=None):
     dtype = params.dtype
 
     def body(c: _StepCarry) -> _StepCarry:
@@ -448,7 +456,8 @@ def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
 
         out = _approximation_loop(
             grid, params, st.h, h_old, se, st.sink_source, st.pond,
-            st.balance_prev.storage, dt, st.dt_curr)
+            st.balance_prev.storage, dt, st.dt_curr,
+            extra_flux_fn=extra_flux_fn)
 
         accepted = out.result == ACCEPTED
         # NAN is fatal; a RUNNING leak is impossible by construction (the last

@@ -406,7 +406,7 @@ def assemble_system(grid: Grid, params: SolverParameters,
 def assemble_fast(grid: Grid, params: SolverParameters,
                   h: jax.Array, h_old: jax.Array, psi_old: jax.Array,
                   se: jax.Array, sink_source: jax.Array, pond: jax.Array,
-                  approx: jax.Array, dt: jax.Array):
+                  approx: jax.Array, dt: jax.Array, extra_flux_fn=None):
     """Capacity + boundary flows + stencil assembly in ONE float32 pass,
     with the RHS directly in psi-form.
 
@@ -632,8 +632,16 @@ def assemble_fast(grid: Grid, params: SolverParameters,
     diag = capacity / dt32 + sum_a
     diag = jnp.where(mask, diag, 1.0)
 
+    # RHS-only extra flux (the invariantFluxes mechanism,
+    # cpusolver.cpp:388): thermal heat-coupling water flows enter b but
+    # NOT the balance sums (computeWaterSinkSourceFlowsSum reads waterFlow
+    # only, water.cpp:130-141)
+    rhs_flow = water_flow
+    if extra_flux_fn is not None:
+        rhs_flow = water_flow + extra_flux_fn(h, k.astype(dtype)).astype(sd)
+
     vd_down = jnp.roll(vd32, -1, axis=0)
-    b = (capacity / dt32) * psi_old + water_flow
+    b = (capacity / dt32) * psi_old + rhs_flow
     b = b + a_up * vd32 - a_down * vd_down
     for idx in range(8):
         b = b + a_lat[idx] * dz_lat32[idx]

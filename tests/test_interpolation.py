@@ -217,3 +217,41 @@ def test_detrended_idw_with_inversion_lapse():
     floor = got[:, 0].mean()
     belt_col = int(np.argmin(np.abs(np.asarray(gz)[0] - 400.0)))
     assert got[:, belt_col].mean() > floor + 1.0
+
+
+def test_check_fast_value_hourly_climate_gate():
+    """Climate-based hourly QC (quality.cpp:272-330; VERDICT r2 weak 6):
+    temperature bounds anchor on lapse-adjusted monthly normals."""
+    from criteria3d_tpu.core.meteo import (ClimateParameters,
+                                           MeteoVariable,
+                                           check_fast_value_hourly)
+
+    clim = ClimateParameters(
+        tmin=[2.0] * 12, tmax=[10.0] * 12,
+        tdmin=[0.0] * 12, tdmax=[8.0] * 12,
+        tmin_lapserate=[-0.006] * 12, tmax_lapserate=[-0.006] * 12,
+        tdmin_lapserate=[-0.002] * 12, tdmax_lapserate=[-0.002] * 12)
+
+    # at reference height (300 m): January bounds are (-60+2, 60+10)
+    assert check_fast_value_hourly(MeteoVariable.AIR_TEMPERATURE, clim,
+                                   25.0, 1, 300.0)
+    assert not check_fast_value_hourly(MeteoVariable.AIR_TEMPERATURE, clim,
+                                       71.0, 1, 300.0)
+    assert not check_fast_value_hourly(MeteoVariable.AIR_TEMPERATURE, clim,
+                                       -59.0, 1, 300.0)
+    # at 2300 m the normals drop by 12 degC -> upper bound 58
+    assert not check_fast_value_hourly(MeteoVariable.AIR_TEMPERATURE, clim,
+                                       59.0, 1, 2300.0)
+    assert check_fast_value_hourly(MeteoVariable.AIR_TEMPERATURE, clim,
+                                   55.0, 1, 2300.0)
+    # dew point uses the Td normals and its own (-60, 50) range
+    assert check_fast_value_hourly(MeteoVariable.AIR_DEW_TEMPERATURE, clim,
+                                   40.0, 1, 300.0)
+    assert not check_fast_value_hourly(MeteoVariable.AIR_DEW_TEMPERATURE,
+                                       clim, 59.0, 1, 300.0)
+    # without climate: falls back to the plain quality range
+    assert check_fast_value_hourly(MeteoVariable.AIR_TEMPERATURE, None,
+                                   59.0, 1, 300.0)
+    # missing data is never accepted
+    assert not check_fast_value_hourly(MeteoVariable.AIR_TEMPERATURE, clim,
+                                       -9999.0, 1, 300.0)
