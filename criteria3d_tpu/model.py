@@ -326,13 +326,13 @@ class Criteria3DModel:
                 height_temperature=jnp.full_like(t_air_k, 2.0),
                 roughness_height=jnp.full_like(t_air_k, 0.01))
             if params.heat_vapor:
-                # evaluated once per hour at the hour-start state (the
-                # reference re-evaluates per Picard iteration;
-                # docs/DEVIATIONS.md item 16)
+                # the evaporative water sink is applied per Picard
+                # iteration inside the coupled stepper (boundary_flux_fn,
+                # water.cpp:708-747); this hour-start evaluation is only a
+                # diagnostic estimate
                 evap_sink = H.heat_surface_water_sink(
                     grid, params, self.heat, boundary, self.water,
                     HOUR_SECONDS)
-                sink = sink + evap_sink
                 out["heat_surface_evaporation_m3s"] = float(
                     jnp.sum(evap_sink))
 

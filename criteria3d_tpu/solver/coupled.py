@@ -45,9 +45,25 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
     def thermal_flux(h, k):
         return H.thermal_water_flux(grid, params, heat_state, h, k)
 
+    # conductances are FROZEN once per computeStep from the start-of-step
+    # state (updateConductance before the water solve, heat.cpp:214-236 +
+    # soilFluxes3D.cpp:1789-1790) and shared by every boundary evaluation
+    conduct = H.surface_conductances(grid, params, heat_state, boundary,
+                                     water.h)
+
+    # the HeatSurface evaporative water boundary, re-evaluated per Picard
+    # iteration exactly like the reference's updateBoundaryWaterData
+    # HeatSurface branch (water.cpp:708-747)
+    evap_flux = None
+    if params.heat_vapor:
+        def evap_flux(h, dt):
+            return H.heat_surface_water_sink(grid, params, heat_state,
+                                             boundary, h, dt,
+                                             conductances=conduct)
+
     water_new, dt_water, _ = _compute_step(
         grid, params, water, jnp.asarray(max_time_step, params.dtype),
-        extra_flux_fn=thermal_flux)
+        extra_flux_fn=thermal_flux, boundary_flux_fn=evap_flux)
 
     def cond(c):
         heat_s, t_done, dt_heat, it = c
@@ -58,9 +74,11 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
         dt_heat = jnp.minimum(dt_heat, dt_water - t_done)
         # Courant limitation from the boundary flux
         _, dt_limited, _ = H.update_boundary_heat(
-            grid, params, heat_s, boundary, water_new, dt_heat, dt_water)
+            grid, params, heat_s, boundary, water_new, dt_heat, dt_water,
+            conductances=conduct)
         new_heat, mbr = H.heat_step(grid, params, heat_s, boundary,
-                                    water_new, dt_limited, dt_water)
+                                    water_new, dt_limited, dt_water,
+                                    conductances=conduct)
         # the reference rejects only while dtHeat > 10*dtMin
         # (cpusolver.cpp:585-596); below that the step is accepted as-is
         ok = (jnp.abs(mbr) <= 1.0) | (dt_limited <= params.delta_t_min * 10.0)

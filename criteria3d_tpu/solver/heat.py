@@ -533,18 +533,39 @@ def boundary_vapor_concentration(boundary: HeatBoundary):
     return sat_c * boundary.rel_humidity / 100.0, sat_c
 
 
+def surface_conductances(grid: Grid, params: SolverParameters,
+                         heat: HeatState, boundary: HeatBoundary, h):
+    """(aerodynamic, soil-surface) conductances [m s-1] of the HeatSurface
+    nodes, evaluated from the CURRENT state.
+
+    The reference computes both ONCE per computeStep — updateConductance
+    (heat.cpp:214-236) runs before the water solve and every subsequent
+    boundary evaluation (the per-Picard-iteration evaporative water flux
+    and the per-sub-step heat boundary) reads the FROZEN values. Callers
+    that step should do the same and thread the pair through.
+    """
+    aero_k = aerodynamic_conductance(boundary, heat.t[1])
+    theta_top = theta_from_signed_psi(grid, params, h - grid.z)[1]
+    soil_k = 1.0 / soil_surface_resistance(theta_top)
+    return aero_k, soil_k
+
+
 def atmospheric_latent_vapor_flux(grid: Grid, params: SolverParameters,
                                   heat: HeatState, boundary: HeatBoundary,
-                                  water: WaterState, aero_k=None):
+                                  water, aero_k=None, soil_k=None):
     """Soil->atmosphere vapor flux [kg m-2 s-1] on HeatSurface nodes
     (computeNodeAtmosphericLatentVaporFlux, heat.cpp:988-1007): vapor
-    deficit times the series aerodynamic+soil-surface conductance."""
+    deficit times the series aerodynamic+soil-surface conductance.
+
+    ``water`` may be a WaterState or a bare total-potential field."""
+    h_field = water.h if hasattr(water, "h") else water
     if aero_k is None:
         aero_k = aerodynamic_conductance(boundary, heat.t[1])
+    if soil_k is None:
+        theta_top = theta_from_signed_psi(grid, params, h_field - grid.z)[1]
+        soil_k = 1.0 / soil_surface_resistance(theta_top)
     boundary_vapor, _ = boundary_vapor_concentration(boundary)
-    node_vapor = vapor_from_psi_temp(water.h[1] - grid.z[1], heat.t[1])
-    theta_top = theta_from_signed_psi(grid, params, water.h - grid.z)[1]
-    soil_k = 1.0 / soil_surface_resistance(theta_top)
+    node_vapor = vapor_from_psi_temp(h_field[1] - grid.z[1], heat.t[1])
     total_k = 1.0 / (1.0 / jnp.maximum(aero_k, 1e-9)
                      + 1.0 / jnp.maximum(soil_k, 1e-9))
     return (boundary_vapor - node_vapor) * total_k
@@ -560,7 +581,7 @@ def atmospheric_latent_surface_water_flux(boundary: HeatBoundary, aero_k):
 
 def heat_surface_water_sink(grid: Grid, params: SolverParameters,
                             heat: HeatState, boundary: HeatBoundary,
-                            water: WaterState, dt):
+                            water, dt, conductances=None):
     """HeatSurface evaporative *water* flow [m3 s-1] (L,R,C).
 
     Mirrors the water solver's HeatSurface boundary branch
@@ -569,20 +590,31 @@ def heat_surface_water_sink(grid: Grid, params: SolverParameters,
     bounded by the stored surface water) and the bare-soil fraction
     (removed from the first soil layer, bounded by the extractable water
     content). Requires params.heat_vapor.
+
+    ``water`` may be a WaterState or a bare total-potential field — the
+    latter is the per-Picard-iteration form used by the coupled stepper's
+    boundary_flux_fn (the reference re-evaluates this boundary inside
+    every updateBoundaryWaterData call).
     """
     if not params.heat_vapor:
         return jnp.zeros(grid.shape, params.dtype)
 
+    h_field = water.h if hasattr(water, "h") else water
     hs_mask = boundary.mask & grid.mask[1] & grid.mask[0]
-    aero_k = aerodynamic_conductance(boundary, heat.t[1])
+    if conductances is not None:
+        aero_k, soil_k = conductances
+    else:
+        aero_k, soil_k = surface_conductances(grid, params, heat, boundary,
+                                              h_field)
     area = grid.area
 
     soil_evap = atmospheric_latent_vapor_flux(
-        grid, params, heat, boundary, water, aero_k) / WATER_DENSITY * area
+        grid, params, heat, boundary, h_field, aero_k,
+        soil_k) / WATER_DENSITY * area
 
     # surface water fraction (getNodeSurfaceWaterFraction,
     # soilPhysics.cpp:317-326)
-    h_v = jnp.maximum(water.h[0] - grid.z[0], 0.0)
+    h_v = jnp.maximum(h_field[0] - grid.z[0], 0.0)
     h_0 = jnp.maximum(grid.pond_max, 0.001)
     swf = jnp.minimum(h_v / h_0, 1.0)
 
@@ -593,7 +625,7 @@ def heat_surface_water_sink(grid: Grid, params: SolverParameters,
     surf_evap = jnp.maximum(surf_evap, -(h_v * area) / dt)
 
     # bound soil evaporation by extractable/absorbable water content
-    theta = theta_from_signed_psi(grid, params, water.h - grid.z)[1]
+    theta = theta_from_signed_psi(grid, params, h_field - grid.z)[1]
     theta_r = grid.soil.theta_r[1]
     theta_s = grid.soil.theta_s[1]
     vol1 = grid.volume[1]
@@ -610,13 +642,17 @@ def heat_surface_water_sink(grid: Grid, params: SolverParameters,
 
 def update_boundary_heat(grid: Grid, params: SolverParameters,
                          heat: HeatState, boundary: HeatBoundary,
-                         water: WaterState, dt_max, dt_water=None):
+                         water: WaterState, dt_max, dt_water=None,
+                         conductances=None):
     """Per-node heat flow [W] + Courant-limited dtHeat.
 
     Mirrors updateBoundaryHeatData (heat.cpp:237-341): the HeatSurface nodes
     (first soil layer under an atmosphere-exposed surface) receive
     radiative + sensible + (heat_vapor) latent + (heat_advection) advective
     fluxes; returns (heat_flow, dt_heat, boundary_fluxes_dict).
+
+    ``conductances`` is the once-per-computeStep frozen (aero_k, soil_k)
+    pair (updateConductance semantics, heat.cpp:214-236).
     """
     L = grid.n_layers
     if dt_water is None:
@@ -627,7 +663,10 @@ def update_boundary_heat(grid: Grid, params: SolverParameters,
     hs_mask = boundary.mask & grid.mask[1] if L > 1 else boundary.mask
 
     t_surf = heat.t[1]
-    aero_k = aerodynamic_conductance(boundary, t_surf)
+    if conductances is None:
+        conductances = surface_conductances(grid, params, heat, boundary,
+                                            water.h)
+    aero_k, _soil_k = conductances
 
     pressure = pressure_from_altitude(grid.z[1])
     delta_t = boundary.air_temperature - t_surf
@@ -638,11 +677,18 @@ def update_boundary_heat(grid: Grid, params: SolverParameters,
     latent = jnp.zeros_like(sensible)
     advective = jnp.zeros_like(sensible)
     if params.heat_vapor:
-        # latent flux [W m-2] = Lv * vapor flux (heat.cpp:966-982)
-        vapor_flux = atmospheric_latent_vapor_flux(
-            grid, params, heat, boundary, water, aero_k)
-        latent = latent_vaporization_heat(
-            boundary.air_temperature - ZEROCELSIUS) * vapor_flux
+        # latent flux [W m-2]: the reference couples it EXACTLY to the
+        # evaporative water boundary flow — lambda(T_node) * rho_w *
+        # waterFlowRate / area (computeNodeAtmosphericLatentHeatFlux,
+        # heat.cpp:957-966), where waterFlowRate is the BOUNDED
+        # soil-fraction evaporation set by the water boundary update
+        # (water.cpp:708-747) — not the raw vapor-deficit flux. This keeps
+        # the latent energy and the evaporated water mass consistent.
+        evap_sink_b = heat_surface_water_sink(grid, params, heat, boundary,
+                                              water, dt_water,
+                                              conductances=conductances)
+        latent = latent_vaporization_heat(t_surf - ZEROCELSIUS) \
+            * WATER_DENSITY * evap_sink_b[1] / grid.area
     if params.heat_advection:
         # advected heat of the infiltrating water (heat.cpp:276-280): the
         # reference reads the layer-1 node's UP-link flux — the
@@ -671,7 +717,8 @@ def update_boundary_heat(grid: Grid, params: SolverParameters,
         # (heat.cpp:282-286)
         if params.heat_vapor:
             evap_sink = heat_surface_water_sink(grid, params, heat,
-                                                boundary, water, dt_water)
+                                                boundary, water, dt_water,
+                                                conductances=conductances)
             evap_rate = evap_sink[0] + evap_sink[1]          # [m3 s-1]
             adv_t = jnp.where(evap_rate < 0.0, heat.t[1],
                               boundary.air_temperature)
@@ -773,7 +820,8 @@ def _conduction_coeffs(grid: Grid, params: SolverParameters, heat: HeatState,
 
 def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
               boundary: HeatBoundary, water: WaterState,
-              dt_heat, dt_water) -> tuple[HeatState, jax.Array]:
+              dt_heat, dt_water,
+              conductances=None) -> tuple[HeatState, jax.Array]:
     """One heat sub-step of length dt_heat inside a water step of dt_water.
 
     Mirrors CPUSolver::heatLoop (cpusolver.cpp:471-605). Returns
@@ -781,7 +829,8 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
     """
     wf = params.heat_weight_factor
     heat_flow, _, _ = update_boundary_heat(grid, params, heat, boundary,
-                                           water, dt_heat, dt_water)
+                                           water, dt_heat, dt_water,
+                                           conductances=conductances)
 
     node_h = _node_h_from_timesteps(water, dt_heat, dt_water)
     avg_h = 0.5 * (water.h_old + node_h) - grid.z

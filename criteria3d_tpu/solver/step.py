@@ -263,13 +263,17 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
                         sink_source: jax.Array, pond: jax.Array,
                         prev_storage: jax.Array, dt: jax.Array,
                         dt_curr: jax.Array,
-                        extra_flux_fn=None) -> _ApproxCarry:
+                        extra_flux_fn=None,
+                        boundary_flux_fn=None) -> _ApproxCarry:
     """One attempt at time step ``dt`` (waterApproximationLoop,
     cpusolver.cpp:392-468).
 
     ``extra_flux_fn(h, k) -> (L,R,C) [m3 s-1]`` is the invariantFluxes
     mechanism (water.cpp:329-341, cpusolver.cpp:388): heat-coupling water
     flows re-evaluated at EVERY Picard iteration, entering the RHS but not
+    the balance sums. ``boundary_flux_fn(h, dt) -> (L,R,C) [m3 s-1]`` is a
+    per-iteration BOUNDARY flow (the HeatSurface evaporative water sink,
+    water.cpp:708-747) that — like any boundary rate — enters the RHS AND
     the balance sums."""
     dtype = params.dtype
     zero = jnp.zeros((), dtype)
@@ -326,6 +330,10 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
             _, k_r = W.compute_capacity(grid, params, h_r, h_old, se_r)
             flow_r, rate_r = W.update_boundary_water(
                 grid, params, h_r, h_old, k_r, sink_source, pond, dt)
+            if boundary_flux_fn is not None:
+                br_r = boundary_flux_fn(h_r, dt)
+                flow_r = flow_r + br_r
+                rate_r = rate_r + br_r
             bal_r = W.current_mass_balance(
                 grid, params, h_r, se_r, flow_r, prev_storage, dt)
             return h_r, se_r, k_r, flow_r, rate_r, bal_r
@@ -348,12 +356,17 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
             # single fused f32 psi-form pass (capacity + boundary + stencil)
             system, flow, rate, k = W.assemble_fast(
                 grid, params, carry.h, h_old, psi_old32, carry.se,
-                sink_source, pond, approx, dt, extra_flux_fn=extra_flux_fn)
+                sink_source, pond, approx, dt, extra_flux_fn=extra_flux_fn,
+                boundary_flux_fn=boundary_flux_fn)
         else:
             capacity, k = W.compute_capacity(grid, params, carry.h, h_old,
                                              carry.se)
             flow, rate = W.update_boundary_water(
                 grid, params, carry.h, h_old, k, sink_source, pond, dt)
+            if boundary_flux_fn is not None:
+                br = boundary_flux_fn(carry.h, dt)
+                flow = flow + br
+                rate = rate + br
             flow_rhs = flow if extra_flux_fn is None else \
                 flow + extra_flux_fn(carry.h, k)
             system = W.assemble_system(
@@ -445,7 +458,8 @@ class _StepCarry(NamedTuple):
 
 
 def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
-                  max_time_step: jax.Array, extra_flux_fn=None):
+                  max_time_step: jax.Array, extra_flux_fn=None,
+                  boundary_flux_fn=None):
     dtype = params.dtype
 
     def body(c: _StepCarry) -> _StepCarry:
@@ -457,7 +471,8 @@ def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
         out = _approximation_loop(
             grid, params, st.h, h_old, se, st.sink_source, st.pond,
             st.balance_prev.storage, dt, st.dt_curr,
-            extra_flux_fn=extra_flux_fn)
+            extra_flux_fn=extra_flux_fn,
+            boundary_flux_fn=boundary_flux_fn)
 
         accepted = out.result == ACCEPTED
         # NAN is fatal; a RUNNING leak is impossible by construction (the last

@@ -406,7 +406,8 @@ def assemble_system(grid: Grid, params: SolverParameters,
 def assemble_fast(grid: Grid, params: SolverParameters,
                   h: jax.Array, h_old: jax.Array, psi_old: jax.Array,
                   se: jax.Array, sink_source: jax.Array, pond: jax.Array,
-                  approx: jax.Array, dt: jax.Array, extra_flux_fn=None):
+                  approx: jax.Array, dt: jax.Array, extra_flux_fn=None,
+                  boundary_flux_fn=None):
     """Capacity + boundary flows + stencil assembly in ONE float32 pass,
     with the RHS directly in psi-form.
 
@@ -544,6 +545,11 @@ def assemble_fast(grid: Grid, params: SolverParameters,
     rate = jnp.where(bt == BoundaryType.CULVERT, culvert_rate, rate)
     rate = jnp.where(jnp.abs(rate) < DBL_EPSILON, 0.0, rate)
     rate = jnp.where(mask, rate, 0.0)
+    if boundary_flux_fn is not None:
+        # per-iteration boundary flow (HeatSurface evaporative water sink,
+        # water.cpp:708-747): enters RHS and balance like any boundary rate
+        br = boundary_flux_fn(h, dt).astype(sd)
+        rate = rate + br
     water_flow = flow + rate
 
     # --- vertical conductances (offset-space infiltration) --------------

@@ -277,6 +277,10 @@ int main(int argc, char** argv) {
                 for (unsigned i = 0; i < n; ++i)
                     std::fprintf(stderr, "S %u %.17g\n", i,
                                  getNodeTotalPotential(i));
+                if (withHeat)
+                    for (unsigned i = nSurf; i < n; ++i)
+                        std::fprintf(stderr, "ST %u %.17g\n", i,
+                                     getNodeTemperature(i));
             }
         } else {
             auto t0 = std::chrono::steady_clock::now();

@@ -81,17 +81,21 @@ def run_both(grid, params, psi0, sink, hours, tmp_path, name):
         mask=jnp.asarray(np.asarray(grid.btype[1])
                          == int(BoundaryType.HEAT_SURFACE)))
 
+    # the reference output must be finite — comparing against NaN would
+    # silently pass through max(err, nan) == err (this hid the fact that
+    # the reference's heat-ADVECTION path NaNs, see
+    # test_reference_advection_is_broken_upstream)
+    for h in range(hours):
+        ref_vals = [v for k, v in ref[h].items() if k != "T"]
+        ref_tvals = list(ref[h].get("T", {}).values())
+        assert np.isfinite(ref_vals).all() and np.isfinite(ref_tvals).all(), \
+            f"reference produced non-finite output at hour {h}"
+
     mask = np.asarray(grid.mask)
     t_err, h_err = 0.0, 0.0
     for h in range(hours):
-        if params.heat_vapor:
-            # the HeatSurface evaporative water flux, evaluated hourly
-            # (model.run_hour does the same; the reference re-evaluates it
-            # per Picard iteration inside updateBoundaryWaterData)
-            evap = H.heat_surface_water_sink(grid, params, heat, boundary,
-                                             water, 3600.0)
-            water = dataclasses.replace(
-                water, sink_source=jnp.asarray(sink) + evap)
+        # the HeatSurface evaporative water flux is applied per Picard
+        # iteration inside the coupled stepper (boundary_flux_fn)
         water, heat = compute_period_coupled(grid, params, water, heat,
                                              boundary, 3600.0)
         ours_t = np.asarray(heat.t)
@@ -118,18 +122,58 @@ class TestHeatParity:
         grid, params, psi0, sink = make_column(False, False)
         t_err, h_err = run_both(grid, params, psi0, sink, 3, tmp_path,
                                 "heat_cond")
-        # residual ~0.06 K comes from evaluating the thermal liquid flux
-        # once per water step instead of per Picard iteration
-        assert t_err < 0.15, f"max |T - T_ref| = {t_err:.4f} K"
-        assert h_err < 2e-2, f"water trajectory diverged: {h_err:.2e} m"
+        # round 3: near-exact — the conductances are frozen once per
+        # computeStep exactly like updateConductance (heat.cpp:214-236)
+        # and the thermal liquid flux re-evaluates per Picard iteration
+        # (measured 1e-4 K / 2e-6 m over the 3 hours)
+        assert t_err < 1e-3, f"max |T - T_ref| = {t_err:.4f} K"
+        assert h_err < 1e-5, f"water trajectory diverged: {h_err:.2e} m"
 
     def test_vapor_column(self, tmp_path):
-        """Full latent + advective coupling incl. the HeatSurface
-        evaporative water flux. Our evaporative water BC is evaluated once
-        per hour instead of per Picard iteration (docs/DEVIATIONS.md), so
-        the water tolerance is looser."""
-        grid, params, psi0, sink = make_column(True, True)
+        """Latent (vapor) coupling incl. the HeatSurface evaporative water
+        flux — WITHOUT advection (the reference's advection path NaNs, see
+        the test below). Our evaporative water BC is evaluated once per
+        hour instead of per Picard iteration (docs/DEVIATIONS.md), so the
+        water tolerance is looser."""
+        grid, params, psi0, sink = make_column(True, False)
         t_err, h_err = run_both(grid, params, psi0, sink, 3, tmp_path,
                                 "heat_vapor")
-        assert t_err < 0.5, f"max |T - T_ref| = {t_err:.4f} K"
-        assert h_err < 5e-3, f"max |H - H_ref| = {h_err:.2e} m"
+        # OPEN PARITY GAP (docs/DEVIATIONS.md #22): under this very strong
+        # drying transient (25 degC air at 50% RH + 300 W m-2 over 10 degC
+        # soil) the trajectories deviate from ~step 4 onward — the
+        # reference conducts heat downward faster than our formulation
+        # during rapid near-surface drying; root cause not yet isolated
+        # (conduction-only parity is 1e-4 K, so it is vapor-specific).
+        # These bounds pin today's measured envelope (11.0 K / 0.11 m) so
+        # any regression OR silent fix shows up; the previous version of
+        # this test compared against NaN reference output and was vacuous.
+        assert t_err < 13.0, f"max |T - T_ref| = {t_err:.4f} K"
+        assert h_err < 0.2, f"max |H - H_ref| = {h_err:.2e} m"
+        assert t_err > 1.0, \
+            "vapor parity improved past the pinned envelope - tighten me"
+
+    def test_reference_advection_is_broken_upstream(self, tmp_path):
+        """Pin the upstream bug that makes an advection oracle impossible:
+        with computeHeatAdvection the reference NaNs within the first hour.
+        Root cause (docs/DEVIATIONS.md #17): saveNodeWaterFluxes reads the
+        per-link water flux via CPUSolver::getMatrixElementValue
+        (cpusolver.h:42-53), which (a) returns the Jacobi-PRECONDITIONED
+        coefficient (values[0] is set to 1.0 by preconditioningMatrix,
+        cpusolver.cpp:303), and (b) when the link was dropped from the row
+        by the per-iteration sparsification, runs its search loop to
+        numColsInRow and reads values[row][numColsInRow] — one past the
+        valid columns, stale/garbage memory — so computeAdvectiveFlux
+        (heat.cpp:150-166) injects garbage-scaled enthalpy. Our
+        implementation advects the physical flux implicitly instead and is
+        covered by its own conservation tests (tests/test_heat.py)."""
+        grid, params, psi0, sink = make_column(False, True)
+        heat_cfg = dict(vapor=0, advection=1, initial_t=INIT_T, air_t=AIR_T,
+                        rel_humidity=RH_AIR, wind=WIND,
+                        net_irradiance=NET_IRR)
+        topo = str(tmp_path / "adv.txt")
+        out = str(tmp_path / "adv_out.txt")
+        export_topology(topo, grid, psi0, sink, params, 1, heat=heat_cfg)
+        ref = run_reference(topo, out)
+        tvals = list(ref[0].get("T", {}).values())
+        assert not np.isfinite(tvals).all(), \
+            "reference advection no longer NaNs - revisit the deviation"
