@@ -110,9 +110,9 @@ class Vine3DModel:
     harvested: jax.Array | None = None       # (R,C) bool
     stress: jax.Array | None = None          # (R,C) last stress coefficient
     # daily accumulators (reset by daily_update)
-    _tsum: float = 0.0
-    _tmin: float = 1e9
-    _tmax: float = -1e9
+    _tsum: object = 0.0          # (R,C) per-cell daily accumulators
+    _tmin: object = 1e9
+    _tmax: object = -1e9
     _nhours: int = 0
     _rain_mm: jax.Array | None = None
     _wet_hours: jax.Array | None = None
@@ -405,12 +405,14 @@ class Vine3DModel:
             is_first_january=(month == 1 and day == 1 and hour == 0))
         out["downy_mildew_infection"] = dm_out["is_infection"]
 
-        # ---- daily accumulators
-        t_mean = float(jnp.mean(jnp.where(valid, forcing.air_temperature, 0.0))
-                       / jnp.maximum(jnp.mean(valid.astype(jnp.float64)), 1e-9))
-        self._tsum += t_mean
-        self._tmin = min(self._tmin, t_mean)
-        self._tmax = max(self._tmax, t_mean)
+        # ---- daily accumulators: per-cell temperature MAPS (the reference
+        # VINE3D drives phenology from the hourly temperature maps per
+        # cell, modelCore.cpp; a catchment-mean scalar would flatten
+        # phenology across relief)
+        t_map = jnp.where(valid, forcing.air_temperature, 0.0)
+        self._tsum = self._tsum + t_map
+        self._tmin = jnp.minimum(self._tmin, t_map)
+        self._tmax = jnp.maximum(self._tmax, t_map)
         self._nhours += 1
         self._rain_mm = self._rain_mm + forcing.precipitation
         self._wet_hours = self._wet_hours + leaf_wetness
@@ -427,7 +429,7 @@ class Vine3DModel:
         """End-of-day: phenology, LAI growth, fruit biomass, powdery mildew."""
         p = self.vine_params
         n = max(self._nhours, 1)
-        tavg = self._tsum / n
+        tavg = self._tsum / n            # (R,C) per-cell daily mean
         # exponential running mean with ~30-day e-folding (Kattge-Knorr
         # acclimation input of farquhar_parameters)
         self._t30_avg += (tavg - self._t30_avg) / 30.0
@@ -448,7 +450,7 @@ class Vine3DModel:
             relative_humidity=self._rh_sum / n,
             is_bud_break=bud_break)
 
-        out = dict(tavg=tavg,
+        out = dict(tavg=tavg, tavg_mean=float(jnp.mean(tavg)),
                    stage=self.vine.stage,
                    lai=self.vine.lai,
                    fruit_biomass=self.vine.fruit_biomass,
@@ -476,5 +478,5 @@ class Vine3DModel:
                                     hour)
             day_out = self.daily_update(date)
             daily_log.append(dict(date=str(date), mbr=out["mbr"],
-                                  tavg=day_out["tavg"]))
+                                  tavg=day_out["tavg_mean"]))
         return daily_log
