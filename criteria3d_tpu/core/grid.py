@@ -91,6 +91,11 @@ class Grid:
     culvert_rough: jax.Array       # (R,C) [s m-1/3] culvert Manning roughness
 
     # --- static metadata ---
+    # which boundary types exist (trace-time knowledge: lets the assembly
+    # skip the full-field prescribed/culvert conductance math — several
+    # transcendental passes per Picard iteration — on grids without them)
+    has_prescribed: bool = dataclasses.field(metadata=dict(static=True))
+    has_culvert: bool = dataclasses.field(metadata=dict(static=True))
     cell_size: float = dataclasses.field(metadata=dict(static=True))
     n_layers: int = dataclasses.field(metadata=dict(static=True))
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
@@ -134,6 +139,7 @@ class Grid:
             culvert_w=self.culvert_w.at[row, col].set(width),
             culvert_h=self.culvert_h.at[row, col].set(height),
             culvert_rough=self.culvert_rough.at[row, col].set(roughness),
+            has_culvert=True,
         )
 
     # ------------------------------------------------------------------
@@ -284,6 +290,9 @@ class Grid:
             roughness=j(rough2d), pond_max=j(pond2d),
             culvert_w=j(np.zeros((R, C))), culvert_h=j(np.zeros((R, C))),
             culvert_rough=j(np.zeros((R, C))),
+            has_prescribed=bool(
+                (btype == BoundaryType.PRESCRIBED_TOTAL_POTENTIAL).any()),
+            has_culvert=False,
             cell_size=float(cell_size),
             n_layers=L, n_nodes=n_nodes, n_surface_nodes=n_surface,
             layer_depth=tuple(depths), layer_thickness=tuple(thicknesses),

@@ -135,51 +135,63 @@ def update_boundary_water(grid: Grid, params: SolverParameters,
     fld_rate = -k * grid.bsize * grid.bslope * params.lateral_vertical_ratio
 
     # --- PrescribedTotalWaterPotential: fixed head 1 m below ---
-    wd = _work_dtype(params)
-    soil_w = _soil_wd(grid, wd)
-    Lb = 1.0
-    boundary_z = grid.z - Lb
-    boundary_psi = (grid.prescribed_h - boundary_z).astype(wd)
-    k_bound = jnp.where(
-        boundary_psi >= 0, soil_w.k_sat,
-        mualem_conductivity(
-            soil_w,
-            se_from_psi(soil_w, jnp.abs(boundary_psi), params.wrc_model),
-            params.wrc_model))
-    mean_k = compute_mean(k_bound, jnp.maximum(k.astype(wd), 1e-30),
-                          params.mean_type)
-    dh = grid.prescribed_h - h
-    presc_rate = mean_k.astype(params.dtype) * grid.bsize * dh / Lb
+    # (full-field retention/Mualem evaluation — skipped entirely on grids
+    # without a prescribed boundary, grid.has_prescribed)
+    if grid.has_prescribed:
+        wd = _work_dtype(params)
+        soil_w = _soil_wd(grid, wd)
+        Lb = 1.0
+        boundary_z = grid.z - Lb
+        boundary_psi = (grid.prescribed_h - boundary_z).astype(wd)
+        k_bound = jnp.where(
+            boundary_psi >= 0, soil_w.k_sat,
+            mualem_conductivity(
+                soil_w,
+                se_from_psi(soil_w, jnp.abs(boundary_psi), params.wrc_model),
+                params.wrc_model))
+        mean_k = compute_mean(k_bound, jnp.maximum(k.astype(wd), 1e-30),
+                              params.mean_type)
+        dh = grid.prescribed_h - h
+        presc_rate = mean_k.astype(params.dtype) * grid.bsize * dh / Lb
+    else:
+        presc_rate = jnp.zeros_like(h)
 
     # --- Culvert (surface outlet): open-channel / mixed / pressure rating ---
     # Reference: water.cpp:749-795. Water level above the culvert invert;
     # the reference computes it as 0.5*(H - Hold) - z (gated quirk, see
-    # SolverParameters.culvert_reference_compat).
-    cw = grid.culvert_w
-    ch = jnp.maximum(grid.culvert_h, 1e-12)
-    crough = jnp.maximum(grid.culvert_rough, 1e-12)
-    cslope = jnp.maximum(grid.bslope[0], 0.0)
-    if params.culvert_reference_compat:
-        wl = 0.5 * (h[0] - h_old[0]) - grid.z[0]
+    # SolverParameters.culvert_reference_compat). Skipped entirely on
+    # grids without a culvert (grid.has_culvert).
+    if grid.has_culvert:
+        cw = grid.culvert_w
+        ch = jnp.maximum(grid.culvert_h, 1e-12)
+        crough = jnp.maximum(grid.culvert_rough, 1e-12)
+        cslope = jnp.maximum(grid.bslope[0], 0.0)
+        if params.culvert_reference_compat:
+            wl = 0.5 * (h[0] - h_old[0]) - grid.z[0]
+        else:
+            wl = 0.5 * (h[0] + h_old[0]) - grid.z[0]
+        # pressure flow, Hazen-Williams with C=70 (rough concrete)
+        eq_diam = jnp.sqrt(4.0 * cw * ch / jnp.pi)
+        pressure_flow = 70.0 * cslope ** 0.54 * eq_diam ** 2.63 / 3.591
+        # full-section Manning flow (bsize = width*height)
+        hr_full = grid.bsize[0] / jnp.maximum(cw + 2.0 * ch, 1e-12)
+        manning_full = (grid.bsize[0] / crough) * jnp.sqrt(cslope) \
+            * hr_full ** (2.0 / 3.0)
+        mix_w = jnp.clip((wl - ch) / (0.5 * ch), 0.0, 1.0)
+        mixed_flow = mix_w * pressure_flow + (1.0 - mix_w) * manning_full
+        # open-channel Manning at the current water level
+        oc_area = cw * jnp.maximum(wl, 0.0)
+        hr_open = oc_area / jnp.maximum(cw + 2.0 * jnp.maximum(wl, 0.0),
+                                        1e-12)
+        open_flow = (oc_area / crough) * jnp.sqrt(cslope) \
+            * hr_open ** (2.0 / 3.0)
+        culvert_flow = jnp.where(
+            wl >= 1.5 * ch, pressure_flow,
+            jnp.where(wl >= ch, mixed_flow,
+                      jnp.where(wl > pond, open_flow, 0.0)))
+        culvert_rate = jnp.zeros_like(h).at[0].set(-culvert_flow)
     else:
-        wl = 0.5 * (h[0] + h_old[0]) - grid.z[0]
-    # pressure flow, Hazen-Williams with C=70 (rough concrete)
-    eq_diam = jnp.sqrt(4.0 * cw * ch / jnp.pi)
-    pressure_flow = 70.0 * cslope ** 0.54 * eq_diam ** 2.63 / 3.591
-    # full-section Manning flow (bsize = width*height)
-    hr_full = grid.bsize[0] / jnp.maximum(cw + 2.0 * ch, 1e-12)
-    manning_full = (grid.bsize[0] / crough) * jnp.sqrt(cslope) * hr_full ** (2.0 / 3.0)
-    mix_w = jnp.clip((wl - ch) / (0.5 * ch), 0.0, 1.0)
-    mixed_flow = mix_w * pressure_flow + (1.0 - mix_w) * manning_full
-    # open-channel Manning at the current water level
-    oc_area = cw * jnp.maximum(wl, 0.0)
-    hr_open = oc_area / jnp.maximum(cw + 2.0 * jnp.maximum(wl, 0.0), 1e-12)
-    open_flow = (oc_area / crough) * jnp.sqrt(cslope) * hr_open ** (2.0 / 3.0)
-    culvert_flow = jnp.where(
-        wl >= 1.5 * ch, pressure_flow,
-        jnp.where(wl >= ch, mixed_flow,
-                  jnp.where(wl > pond, open_flow, 0.0)))
-    culvert_rate = jnp.zeros_like(h).at[0].set(-culvert_flow)
+        culvert_rate = jnp.zeros_like(h)
 
     rate = jnp.zeros_like(h)
     rate = jnp.where(bt == BoundaryType.RUNOFF, runoff_rate, rate)
@@ -497,52 +509,57 @@ def assemble_fast(grid: Grid, params: SolverParameters,
     # FreeLateralDrainage (rim soil)
     fld_rate = -k * bsize32 * bslope32 * lvr
 
-    # PrescribedTotalWaterPotential: fixed head 1 m below
-    Lb = 1.0
-    prescribed_psi = (grid.prescribed_h - grid.z).astype(sd)
-    boundary_psi = prescribed_psi + Lb
-    k_bound = jnp.where(
-        boundary_psi >= 0, soil32.k_sat,
-        mualem_conductivity(
-            soil32,
-            se_from_psi(soil32, jnp.abs(boundary_psi), params.wrc_model),
-            params.wrc_model))
-    mean_kb = compute_mean(k_bound, jnp.maximum(k, 1e-30), params.mean_type)
-    presc_rate = mean_kb * bsize32 * (prescribed_psi - psi) / Lb
-
-    # Culvert (surface outlet)
-    cw = grid.culvert_w.astype(sd)
-    ch = jnp.maximum(grid.culvert_h.astype(sd), 1e-12)
-    crough = jnp.maximum(grid.culvert_rough.astype(sd), 1e-12)
-    cslope = jnp.maximum(bslope32[0], 0.0)
-    if params.culvert_reference_compat:
-        # the reference's verbatim 0.5*(H - Hold) - z needs the absolute
-        # surface elevation (f32 of ~100 m is exact to micrometres, fine
-        # for a comparison against metre-scale culvert heights)
-        wl = 0.5 * (psi[0] - psi_old[0]) - grid.z[0].astype(sd)
-    else:
-        wl = avg_psi[0]
-    eq_diam = jnp.sqrt(4.0 * cw * ch / jnp.pi)
-    pressure_flow = 70.0 * cslope ** 0.54 * eq_diam ** 2.63 / 3.591
-    hr_full = bsize32[0] / jnp.maximum(cw + 2.0 * ch, 1e-12)
-    manning_full = (bsize32[0] / crough) * jnp.sqrt(cslope) * hr_full ** (2.0 / 3.0)
-    mix_w = jnp.clip((wl - ch) / (0.5 * ch), 0.0, 1.0)
-    mixed_flow = mix_w * pressure_flow + (1.0 - mix_w) * manning_full
-    oc_area = cw * jnp.maximum(wl, 0.0)
-    hr_open = oc_area / jnp.maximum(cw + 2.0 * jnp.maximum(wl, 0.0), 1e-12)
-    open_flow = (oc_area / crough) * jnp.sqrt(cslope) * hr_open ** (2.0 / 3.0)
-    culvert_flow = jnp.where(
-        wl >= 1.5 * ch, pressure_flow,
-        jnp.where(wl >= ch, mixed_flow,
-                  jnp.where(wl > pond32, open_flow, 0.0)))
-    culvert_rate = jnp.zeros_like(psi).at[0].set(-culvert_flow)
-
     rate = jnp.zeros_like(psi)
     rate = jnp.where(bt == BoundaryType.RUNOFF, runoff_rate, rate)
     rate = jnp.where(bt == BoundaryType.FREE_DRAINAGE, fd_rate, rate)
     rate = jnp.where(bt == BoundaryType.FREE_LATERAL_DRAINAGE, fld_rate, rate)
-    rate = jnp.where(bt == BoundaryType.PRESCRIBED_TOTAL_POTENTIAL, presc_rate, rate)
-    rate = jnp.where(bt == BoundaryType.CULVERT, culvert_rate, rate)
+
+    if grid.has_prescribed:
+        # PrescribedTotalWaterPotential: fixed head 1 m below (full-field
+        # retention/Mualem math — static-gated on grid.has_prescribed)
+        Lb = 1.0
+        prescribed_psi = (grid.prescribed_h - grid.z).astype(sd)
+        boundary_psi = prescribed_psi + Lb
+        k_bound = jnp.where(
+            boundary_psi >= 0, soil32.k_sat,
+            mualem_conductivity(
+                soil32,
+                se_from_psi(soil32, jnp.abs(boundary_psi), params.wrc_model),
+                params.wrc_model))
+        mean_kb = compute_mean(k_bound, jnp.maximum(k, 1e-30),
+                               params.mean_type)
+        presc_rate = mean_kb * bsize32 * (prescribed_psi - psi) / Lb
+        rate = jnp.where(bt == BoundaryType.PRESCRIBED_TOTAL_POTENTIAL,
+                         presc_rate, rate)
+
+    if grid.has_culvert:
+        # Culvert (surface outlet) — static-gated on grid.has_culvert
+        cw = grid.culvert_w.astype(sd)
+        ch = jnp.maximum(grid.culvert_h.astype(sd), 1e-12)
+        crough = jnp.maximum(grid.culvert_rough.astype(sd), 1e-12)
+        cslope = jnp.maximum(bslope32[0], 0.0)
+        if params.culvert_reference_compat:
+            # the reference's verbatim 0.5*(H - Hold) - z needs the absolute
+            # surface elevation (f32 of ~100 m is exact to micrometres, fine
+            # for a comparison against metre-scale culvert heights)
+            wl = 0.5 * (psi[0] - psi_old[0]) - grid.z[0].astype(sd)
+        else:
+            wl = avg_psi[0]
+        eq_diam = jnp.sqrt(4.0 * cw * ch / jnp.pi)
+        pressure_flow = 70.0 * cslope ** 0.54 * eq_diam ** 2.63 / 3.591
+        hr_full = bsize32[0] / jnp.maximum(cw + 2.0 * ch, 1e-12)
+        manning_full = (bsize32[0] / crough) * jnp.sqrt(cslope) * hr_full ** (2.0 / 3.0)
+        mix_w = jnp.clip((wl - ch) / (0.5 * ch), 0.0, 1.0)
+        mixed_flow = mix_w * pressure_flow + (1.0 - mix_w) * manning_full
+        oc_area = cw * jnp.maximum(wl, 0.0)
+        hr_open = oc_area / jnp.maximum(cw + 2.0 * jnp.maximum(wl, 0.0), 1e-12)
+        open_flow = (oc_area / crough) * jnp.sqrt(cslope) * hr_open ** (2.0 / 3.0)
+        culvert_flow = jnp.where(
+            wl >= 1.5 * ch, pressure_flow,
+            jnp.where(wl >= ch, mixed_flow,
+                      jnp.where(wl > pond32, open_flow, 0.0)))
+        culvert_rate = jnp.zeros_like(psi).at[0].set(-culvert_flow)
+        rate = jnp.where(bt == BoundaryType.CULVERT, culvert_rate, rate)
     rate = jnp.where(jnp.abs(rate) < DBL_EPSILON, 0.0, rate)
     rate = jnp.where(mask, rate, 0.0)
     if boundary_flux_fn is not None:

@@ -174,7 +174,8 @@ def case_soak(n=8):
             btype[l, r, 0] = BoundaryType.PRESCRIBED_TOTAL_POTENTIAL
             presc[l, r, 0] = z[l, r, 0] - 0.2
     grid = dataclasses.replace(grid, btype=jnp.asarray(btype),
-                               prescribed_h=jnp.asarray(presc))
+                               prescribed_h=jnp.asarray(presc),
+                               has_prescribed=True)
 
     params = SolverParameters()
     psi0 = np.full(grid.shape, -1.2)
