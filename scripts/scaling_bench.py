@@ -70,6 +70,8 @@ def main():
 
     n_dev = len(jax.devices())
     if n_dev > 1:
+        from criteria3d_tpu.core.state import SolverParameters as SP
+
         mesh = make_mesh(n_dev)
         grid_s = shard_pytree(grid, mesh)
         state_s = shard_pytree(state, mesh)
@@ -77,6 +79,16 @@ def main():
         results[n_dev] = dict(
             step_s=tn, nodes_per_s=n_nodes / tn,
             efficiency=(t1 / tn) / n_dev)
+        # the production configuration (fast_f32 + sharded Pallas sweep
+        # loop); on a virtual CPU mesh the kernel runs interpreted, so
+        # this leg is a correctness/scaling-shape check, not a wall-clock
+        # target (enable with SCALING_PALLAS=1 off-TPU)
+        if jax.devices()[0].platform == "tpu" or \
+                os.environ.get("SCALING_PALLAS") == "1":
+            pp = SP.fast_f32(use_pallas=True, mesh=mesh)
+            tp = time_steps(grid_s, pp, state_s)
+            results[f"{n_dev}_pallas"] = dict(
+                step_s=tp, nodes_per_s=n_nodes / tp)
 
     print(json.dumps({
         "metric": "scaling_node_steps_per_s",
