@@ -93,11 +93,15 @@ def main():
     # BENCH_MODE=ref for pure f64
     inner = "cg" if os.environ.get("BENCH_CG", "0") == "1" else "jacobi"
     if os.environ.get("BENCH_MODE", "fast") == "fast":
-        # Pallas bundled sweeps are the production default on TPU (7.8x
-        # faster per sweep than the XLA stencil path and 8x fewer loop
-        # iterations); BENCH_PALLAS=0 selects the pure-XLA sweep path
+        # With the all-f32 psi-form assembly (round 3) the pure-XLA sweep
+        # path overtook the Pallas bundle on single chip (1.75 vs 1.97
+        # s/sim-hour: per-sweep convergence checks need ~40% fewer sweeps
+        # than the K=8 bundle granularity, and the f32 stencil sweeps hit
+        # HBM roofline either way) — so XLA sweeps are the production
+        # default; BENCH_PALLAS=1 selects the Pallas bundled kernel
+        # (still the validated multi-chip shard_map path).
         params = SolverParameters.fast_f32(
-            use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
+            use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
             inner_solver=inner)
     else:
         params = SolverParameters(inner_solver=inner)

@@ -306,12 +306,11 @@ class Criteria3DProject:
         if fast:
             # f32 cannot resolve the accuracy rule's 1e-10 residual; the
             # sweep loop clamps its tolerance to 1e-7 (solver/step.py).
-            # On TPU the Pallas bundled-sweep kernel is the default fast
-            # path (tests run on CPU where Pallas is unavailable).
-            import jax as _jax
+            # XLA f32 psi-form sweeps are the production fast path (they
+            # overtook the Pallas bundle once the assembly went all-f32 —
+            # see bench.py); set use_pallas for the bundled kernel.
             self.params = dataclasses.replace(
-                self.params, sweep_dtype=jnp.float32,
-                use_pallas=_jax.default_backend() == "tpu")
+                self.params, sweep_dtype=jnp.float32)
 
         mconfig = ModelConfig(
             latitude=cfg.latitude, longitude=cfg.longitude,
