@@ -88,8 +88,15 @@ def total_water_content(grid: Grid, params: SolverParameters,
     """
     surf = jnp.maximum(h[0] - grid.z[0], 0.0) * grid.volume[0]
     surf = jnp.where(grid.mask[0], surf, 0.0)
-    theta = theta_from_se(grid.soil, se)
-    soil = jnp.where(grid.mask, theta * grid.volume, 0.0)
+    wd = _work_dtype(params)
+    if wd != params.dtype:
+        # fast path: theta values in f32 (retention params are smooth; the
+        # per-cell rounding is ~6e-8 relative), accumulation stays f64
+        theta = theta_from_se(_soil_wd(grid, wd), se.astype(wd))
+        soil = jnp.where(grid.mask, theta * grid.volume.astype(wd), 0.0)
+    else:
+        theta = theta_from_se(grid.soil, se)
+        soil = jnp.where(grid.mask, theta * grid.volume, 0.0)
     soil = soil.at[0].set(0.0)
     # balance sums always accumulate in f64 so the MBR acceptance gate keeps
     # its meaning in float32 compute mode (mass closure is the acceptance
@@ -469,7 +476,10 @@ def assemble_fast(grid: Grid, params: SolverParameters,
     x = soil32.vg_alpha * jnp.maximum(psi_c, 1e-20)
     term = (1.0 + x ** n) ** (-(soil32.vg_m + 1.0)) * x ** (n - 1.0)
     dse_a = soil32.vg_alpha * n * soil32.vg_m * term / soil32.vg_sc
-    se_c = se_from_psi(soil32, psi_c, params.wrc_model)
+    # se at the current iterate was already computed by compute_se from the
+    # same h and retention model — reuse it instead of re-evaluating the
+    # retention curve (one full-field VG pass per Picard iteration)
+    se_c = se.astype(sd)
     se_p = se_from_psi(soil32, psi_p, params.wrc_model)
     dh32 = (h - h_old).astype(sd)
     dse_s = jnp.abs((se_c - se_p) / jnp.where(dh32 != 0, dh32, 1.0))

@@ -177,3 +177,13 @@ class TestHeatParity:
         tvals = list(ref[0].get("T", {}).values())
         assert not np.isfinite(tvals).all(), \
             "reference advection no longer NaNs - revisit the deviation"
+
+    def test_conduction_24h_soak(self, tmp_path):
+        """Day-long coupled water+heat soak (conduction + the thermal
+        liquid coupling): guards the frozen-conductance and per-iteration
+        coupling fidelity over a full diurnal-scale horizon."""
+        grid, params, psi0, sink = make_column(False, False)
+        t_err, h_err = run_both(grid, params, psi0, sink, 24, tmp_path,
+                                "heat_cond24")
+        assert t_err < 0.01, f"max |T - T_ref| = {t_err:.4f} K"
+        assert h_err < 1e-4, f"water trajectory diverged: {h_err:.2e} m"
