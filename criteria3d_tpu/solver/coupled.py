@@ -61,9 +61,14 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
                                              boundary, h, dt,
                                              conductances=conduct)
 
-    water_new, dt_water, _ = _compute_step(
+    water_new, dt_water, _, boundary_rate = _compute_step(
         grid, params, water, jnp.asarray(max_time_step, params.dtype),
         extra_flux_fn=thermal_flux, boundary_flux_fn=evap_flux)
+    # the heat boundary's latent flux reads the evaporative water rate of
+    # the water step's LAST assembly (boundaryData.waterFlowRate,
+    # computeNodeAtmosphericLatentHeatFlux heat.cpp:957-966) — at a
+    # HeatSurface layer-1 node boundary_rate IS exactly that rate
+    evap_rate_frozen = boundary_rate[1] if params.heat_vapor else None
 
     def cond(c):
         heat_s, t_done, dt_heat, it = c
@@ -75,10 +80,11 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
         # Courant limitation from the boundary flux
         _, dt_limited, _ = H.update_boundary_heat(
             grid, params, heat_s, boundary, water_new, dt_heat, dt_water,
-            conductances=conduct)
+            conductances=conduct, evap_rate=evap_rate_frozen)
         new_heat, mbr = H.heat_step(grid, params, heat_s, boundary,
                                     water_new, dt_limited, dt_water,
-                                    conductances=conduct)
+                                    conductances=conduct,
+                                    evap_rate=evap_rate_frozen)
         # the reference rejects only while dtHeat > 10*dtMin
         # (cpusolver.cpp:585-596); below that the step is accepted as-is
         ok = (jnp.abs(mbr) <= 1.0) | (dt_limited <= params.delta_t_min * 10.0)

@@ -643,7 +643,7 @@ def heat_surface_water_sink(grid: Grid, params: SolverParameters,
 def update_boundary_heat(grid: Grid, params: SolverParameters,
                          heat: HeatState, boundary: HeatBoundary,
                          water: WaterState, dt_max, dt_water=None,
-                         conductances=None):
+                         conductances=None, evap_rate=None):
     """Per-node heat flow [W] + Courant-limited dtHeat.
 
     Mirrors updateBoundaryHeatData (heat.cpp:237-341): the HeatSurface nodes
@@ -684,11 +684,12 @@ def update_boundary_heat(grid: Grid, params: SolverParameters,
         # soil-fraction evaporation set by the water boundary update
         # (water.cpp:708-747) — not the raw vapor-deficit flux. This keeps
         # the latent energy and the evaporated water mass consistent.
-        evap_sink_b = heat_surface_water_sink(grid, params, heat, boundary,
-                                              water, dt_water,
-                                              conductances=conductances)
+        if evap_rate is None:
+            evap_rate = heat_surface_water_sink(grid, params, heat, boundary,
+                                                water, dt_water,
+                                                conductances=conductances)[1]
         latent = latent_vaporization_heat(t_surf - ZEROCELSIUS) \
-            * WATER_DENSITY * evap_sink_b[1] / grid.area
+            * WATER_DENSITY * evap_rate / grid.area
     if params.heat_advection:
         # advected heat of the infiltrating water (heat.cpp:276-280): the
         # reference reads the layer-1 node's UP-link flux — the
@@ -751,9 +752,15 @@ def update_boundary_heat(grid: Grid, params: SolverParameters,
 
     # heat Courant: |flux| dt / (C * V) <= 1 (heat.cpp:292-341); extended
     # over every boundary-flux-carrying heat node (the reference evaluates
-    # it on HeatSurface nodes only)
-    avg_h = water.h_old - grid.z
-    cap = heat_capacity(grid, params, avg_h, heat.t_old)
+    # it on HeatSurface nodes only). REFERENCE QUIRK reproduced: the
+    # capacity is evaluated with the TOTAL head passed as signed psi
+    # (computeNodeHeatCapacity(nodeIndex, oldPressureHead, oldT),
+    # heat.cpp:295-297 — everything else subtracts z first) and includes
+    # the vapor term; the dtHeat sub-step split must match the reference's
+    # to the second or CN-integration differences seed the evaporation-
+    # temperature feedback (DEVIATIONS #22).
+    cap = heat_capacity(grid, params, water.h_old, heat.t_old,
+                        with_vapor=params.heat_vapor)
     heat_mask_all = grid.mask.at[0].set(False)
     courant = jnp.where(heat_mask_all,
                         jnp.abs(flow) * dt_max
@@ -821,7 +828,7 @@ def _conduction_coeffs(grid: Grid, params: SolverParameters, heat: HeatState,
 def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
               boundary: HeatBoundary, water: WaterState,
               dt_heat, dt_water,
-              conductances=None) -> tuple[HeatState, jax.Array]:
+              conductances=None, evap_rate=None) -> tuple[HeatState, jax.Array]:
     """One heat sub-step of length dt_heat inside a water step of dt_water.
 
     Mirrors CPUSolver::heatLoop (cpusolver.cpp:471-605). Returns
@@ -830,7 +837,8 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
     wf = params.heat_weight_factor
     heat_flow, _, _ = update_boundary_heat(grid, params, heat, boundary,
                                            water, dt_heat, dt_water,
-                                           conductances=conductances)
+                                           conductances=conductances,
+                                           evap_rate=evap_rate)
 
     node_h = _node_h_from_timesteps(water, dt_heat, dt_water)
     avg_h = 0.5 * (water.h_old + node_h) - grid.z

@@ -455,6 +455,10 @@ class _StepCarry(NamedTuple):
     done: jax.Array
     nan_flag: jax.Array
     stats: tuple    # (n_attempts, n_approx, n_sweeps) int32 diagnostics
+    # boundary rate of the accepted step's LAST assembly — the reference's
+    # boundaryData.waterFlowRate as seen by the subsequent heat boundary
+    # (computeNodeAtmosphericLatentHeatFlux reads it, heat.cpp:957-966)
+    boundary_rate: jax.Array
 
 
 def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
@@ -534,14 +538,17 @@ def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
         return _StepCarry(state=new_state,
                           dt_accepted=jnp.asarray(dt, dtype),
                           done=done, nan_flag=c.nan_flag | fatal,
-                          stats=stats)
+                          stats=stats,
+                          boundary_rate=out.boundary_rate.astype(
+                              c.boundary_rate.dtype))
 
     z32 = jnp.zeros((), jnp.int32)
     init = _StepCarry(state=state, dt_accepted=jnp.zeros((), dtype),
                       done=jnp.zeros((), bool), nan_flag=jnp.zeros((), bool),
-                      stats=(z32, z32, z32))
+                      stats=(z32, z32, z32),
+                      boundary_rate=jnp.zeros_like(state.h))
     final = lax.while_loop(lambda c: ~c.done, body, init)
-    return final.state, final.dt_accepted, final.stats
+    return final.state, final.dt_accepted, final.stats, final.boundary_rate
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -553,7 +560,7 @@ def compute_step(grid: Grid, params: SolverParameters, state: WaterState,
     (soilFluxes3D.cpp:1785-1821) / CPUSolver::waterMainLoop.
     """
     max_ts = jnp.asarray(max_time_step, params.dtype)
-    st, dt, _ = _compute_step(grid, params, state, max_ts)
+    st, dt, _, _ = _compute_step(grid, params, state, max_ts)
     return st, dt
 
 
@@ -589,7 +596,7 @@ def compute_period_stats(grid: Grid, params: SolverParameters,
 
     def body(c):
         st, t, acc = c
-        st, dt, stats = _compute_step(grid, params, st, period - t)
+        st, dt, stats, _ = _compute_step(grid, params, st, period - t)
         acc = tuple(a + s for a, s in zip(acc, (jnp.ones((), jnp.int32),)
                                           + stats))
         return st, t + dt, acc

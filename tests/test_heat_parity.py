@@ -138,17 +138,19 @@ class TestHeatParity:
         grid, params, psi0, sink = make_column(True, False)
         t_err, h_err = run_both(grid, params, psi0, sink, 3, tmp_path,
                                 "heat_vapor")
-        # OPEN PARITY GAP (docs/DEVIATIONS.md #22): under this very strong
-        # drying transient (25 degC air at 50% RH + 300 W m-2 over 10 degC
-        # soil) the trajectories deviate from ~step 4 onward — the
-        # reference conducts heat downward faster than our formulation
-        # during rapid near-surface drying; root cause not yet isolated
-        # (conduction-only parity is 1e-4 K, so it is vapor-specific).
-        # These bounds pin today's measured envelope (11.0 K / 0.11 m) so
-        # any regression OR silent fix shows up; the previous version of
-        # this test compared against NaN reference output and was vacuous.
-        assert t_err < 13.0, f"max |T - T_ref| = {t_err:.4f} K"
-        assert h_err < 0.2, f"max |H - H_ref| = {h_err:.2e} m"
+        # OPEN PARITY GAP (docs/DEVIATIONS.md #22), much narrowed in
+        # round 3 — see below.
+        # Round-3 narrowing: freezing the evaporative water rate to the
+        # water step's last assembly and matching the heat-Courant
+        # capacity quirk made the FIRST FIVE 600-s steps agree to 1e-4 K;
+        # the residual divergence starts at a dtHeat floor() knife-edge
+        # (413 vs 414 s from last-ulp C++-vs-XLA arithmetic) that the
+        # evaporation-temperature feedback then amplifies. These bounds
+        # pin today's envelope (10.0 K / 0.075 m at 3 h) so any
+        # regression OR silent fix shows up; the previous version of this
+        # test compared against NaN reference output and was vacuous.
+        assert t_err < 12.0, f"max |T - T_ref| = {t_err:.4f} K"
+        assert h_err < 0.12, f"max |H - H_ref| = {h_err:.2e} m"
         assert t_err > 1.0, \
             "vapor parity improved past the pinned envelope - tighten me"
 
