@@ -191,3 +191,61 @@ def test_montue_six_hours(montue):
     rows = con.execute('SELECT * FROM "point_TDR"').fetchall()
     con.close()
     assert len(rows) == 6
+
+
+# ----------------------------------------------------------------------
+# STH (Schaefertal): third sample project, REAL hourly observations
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sth():
+    prj = Criteria3DProject.load(
+        f"{REF}/STH/STH.ini",
+        hourly_window=(datetime.datetime(2019, 2, 9, 0),
+                       datetime.datetime(2019, 2, 12, 0)))
+    prj.output_dir = prj.output_dir  # default OUTPUT under the project
+    import tempfile
+    prj.output_dir = tempfile.mkdtemp(prefix="sth_out_")
+    prj.initialize()
+    return prj
+
+
+def test_sth_load(sth):
+    """STH ships a real reference-format hourly meteo DB (36k rows of
+    T/prec/RH/rad/wind), a soil map and a soil DB — all loaded through
+    the same paths as the reference app."""
+    assert sth.grid is not None
+    assert len(sth.stations) == 1
+    st = sth.stations[0]
+    assert st.altitude == pytest.approx(388.6)
+    # hourly series clipped to the requested window
+    from criteria3d_tpu.core.meteo import MeteoVariable
+    v = st.hourly_value(MeteoVariable.AIR_TEMPERATURE,
+                        datetime.datetime(2019, 2, 10, 10))
+    assert v == pytest.approx(5.5)
+    assert sth.grid.n_nodes > 3482          # 3482 surface cells x layers
+
+
+def test_sth_rain_hours(sth):
+    """Six hours across the 2019-02-10 rain event: observed forcing maps,
+    infiltration and balance closure on a real catchment."""
+    start = datetime.datetime(2019, 2, 10, 8)
+    log = sth.run_period(start, 6)
+    assert len(log) == 6
+
+    f = sth.run_hour(start + datetime.timedelta(hours=6),
+                     write_outputs=False)["forcing"]
+    m = np.asarray(sth.grid.mask[0])
+    # single station: the map follows the climate-lapse retrend over the
+    # catchment's ~60 m of relief, anchored on the observation
+    tmap = np.asarray(f.air_temperature)[m]
+    assert tmap.max() - tmap.min() < 1.0
+    assert 4.0 < tmap.mean() < 8.0
+
+    # the rain reached the forcing (0.4 mm observed at 14:00)
+    assert 0.1 < float(np.asarray(f.precipitation)[m].mean()) < 1.2
+
+    w = sth.model.water
+    mbe = abs(float(w.balance_period.mbe))
+    sink = abs(float(w.balance_period.sink_source))
+    assert mbe < max(1e-3, 1e-2 * max(sink, 1.0))
