@@ -200,3 +200,41 @@ def test_project_watertable_subsystem(tmp_path):
     # the map path derives latitude from the well's UTM position, the
     # hand-check from the station's nominal latitude -> cm-level agreement
     assert dmap[4, 4] == pytest.approx(est, abs=1e-2)
+
+
+def test_utility_dbs_roundtrip(tmp_path):
+    """waterTableDb + computationUnitsDb analogues (agrolib/utilities,
+    SURVEY §2.2 row 19): persisted pre-fitted water-table parameters and
+    the CRITERIA-1D computational_units table."""
+    from criteria3d_tpu.io.utility_db import (ComputationUnit,
+                                              ComputationUnitsDb,
+                                              WaterTableParamsDb)
+
+    wdb = WaterTableParamsDb(str(tmp_path / "wt.db"))
+    model = WaterTableModel(h0=142.0, alpha=-1.1, nr_days=185,
+                            avg_daily_cwb=-0.8, r2=0.93)
+    wdb.write("W01", model, lat=44.8, lon=11.6)
+    got, lat, lon = wdb.read("W01")
+    assert got.h0 == 142.0 and got.alpha == -1.1 and got.nr_days == 185
+    assert got.avg_daily_cwb == -0.8
+    assert (lat, lon) == (44.8, 11.6)
+    with pytest.raises(KeyError, match="Missing waterTable ID"):
+        wdb.read("W99")
+    # a read-back model predicts (the CRITERIA-1D use: load, not re-fit)
+    prec = np.full(400, 2.0)
+    et0 = np.full(400, 2.5)
+    d = got.depth(prec, et0, 390)
+    assert d != -9999.0 and d >= 0.0
+
+    cdb = ComputationUnitsDb(str(tmp_path / "units.db"))
+    units = [ComputationUnit(id_case="CASE001", id_crop="MAIZE",
+                             id_meteo="S1", id_soil="SOIL7",
+                             id_water_table="W01", hectares=12.5,
+                             use_water_table=True),
+             ComputationUnit(id_case="CASE002", id_crop="WHEAT",
+                             id_meteo="S2", id_soil="SOIL3", hectares=4.0)]
+    cdb.write_units(units)
+    back = cdb.read_units()
+    assert [u.id_case for u in back] == ["CASE001", "CASE002"]
+    assert back[0].use_water_table and not back[1].use_water_table
+    assert back[0].hectares == 12.5 and back[1].id_crop == "WHEAT"
