@@ -42,8 +42,8 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
     # cpusolver.cpp:388). Like the reference, they are excluded from the
     # balance sink sums (computeWaterSinkSourceFlowsSum reads waterFlow
     # only).
-    def thermal_flux(h, k):
-        return H.thermal_water_flux(grid, params, heat_state, h, k)
+    def thermal_flux(psi, k):
+        return H.thermal_water_flux(grid, params, heat_state, psi, k)
 
     # conductances are FROZEN once per computeStep from the start-of-step
     # state (updateConductance before the water solve, heat.cpp:214-236 +
@@ -56,9 +56,9 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
     # HeatSurface branch (water.cpp:708-747)
     evap_flux = None
     if params.heat_vapor:
-        def evap_flux(h, dt):
+        def evap_flux(psi, dt):
             return H.heat_surface_water_sink(grid, params, heat_state,
-                                             boundary, h, dt,
+                                             boundary, psi, dt,
                                              conductances=conduct)
 
     water_new, dt_water, _, boundary_rate = _compute_step(

@@ -356,24 +356,25 @@ def thermal_water_invariant_flux(grid: Grid, params: SolverParameters,
     temperature (getNodeMeanTemperature) — the reference re-evaluates per
     Picard iteration (docs/DEVIATIONS.md item 16).
     """
-    return thermal_water_flux(grid, params, heat, water.h, water.k)
+    return thermal_water_flux(grid, params, heat, water.h - grid.z,
+                              water.k)
 
 
 def thermal_water_flux(grid: Grid, params: SolverParameters,
-                       heat: HeatState, h, k):
+                       heat: HeatState, psi, k):
     """Like :func:`thermal_water_invariant_flux` but from an explicit
-    (h, k) iterate — the per-Picard-iteration form: the reference
+    (SIGNED psi, k) iterate — the per-Picard-iteration form: the reference
     accumulates these into invariantFluxes during EVERY matrix assembly
     (computeLinkFluxes, water.cpp:329-341; RHS add cpusolver.cpp:388),
-    re-evaluating the conductivities at the current iterate."""
+    re-evaluating the conductivities at the current iterate. ``psi`` may
+    be the solver's f32 psi-carry field."""
     heat_mask = grid.mask.at[0].set(False)
     t_mean = compute_mean(heat.t, heat.t_old, MeanType.ARITHMETIC)
-    h_signed = h - grid.z
 
-    tlk = thermal_liquid_conductivity(t_mean - ZEROCELSIUS, h_signed, k)
+    tlk = thermal_liquid_conductivity(t_mean - ZEROCELSIUS, psi, k)
     flux = _link_sum(grid, tlk, t_mean, heat_mask, params.mean_type)
     if params.heat_vapor:
-        tvk = thermal_vapor_conductivity(grid, params, t_mean, h_signed)
+        tvk = thermal_vapor_conductivity(grid, params, t_mean, psi)
         flux = flux + _link_sum(grid, tvk, t_mean, heat_mask,
                                 params.mean_type) / WATER_DENSITY
     return jnp.where(heat_mask, flux, 0.0)
@@ -557,15 +558,16 @@ def atmospheric_latent_vapor_flux(grid: Grid, params: SolverParameters,
     (computeNodeAtmosphericLatentVaporFlux, heat.cpp:988-1007): vapor
     deficit times the series aerodynamic+soil-surface conductance.
 
-    ``water`` may be a WaterState or a bare total-potential field."""
-    h_field = water.h if hasattr(water, "h") else water
+    ``water`` may be a WaterState or a bare SIGNED-PSI field (the
+    solver's psi-carry)."""
+    psi = (water.h - grid.z) if hasattr(water, "h") else water
     if aero_k is None:
         aero_k = aerodynamic_conductance(boundary, heat.t[1])
     if soil_k is None:
-        theta_top = theta_from_signed_psi(grid, params, h_field - grid.z)[1]
+        theta_top = theta_from_signed_psi(grid, params, psi)[1]
         soil_k = 1.0 / soil_surface_resistance(theta_top)
     boundary_vapor, _ = boundary_vapor_concentration(boundary)
-    node_vapor = vapor_from_psi_temp(h_field[1] - grid.z[1], heat.t[1])
+    node_vapor = vapor_from_psi_temp(psi[1], heat.t[1])
     total_k = 1.0 / (1.0 / jnp.maximum(aero_k, 1e-9)
                      + 1.0 / jnp.maximum(soil_k, 1e-9))
     return (boundary_vapor - node_vapor) * total_k
@@ -591,7 +593,7 @@ def heat_surface_water_sink(grid: Grid, params: SolverParameters,
     (removed from the first soil layer, bounded by the extractable water
     content). Requires params.heat_vapor.
 
-    ``water`` may be a WaterState or a bare total-potential field — the
+    ``water`` may be a WaterState or a bare SIGNED-PSI field — the
     latter is the per-Picard-iteration form used by the coupled stepper's
     boundary_flux_fn (the reference re-evaluates this boundary inside
     every updateBoundaryWaterData call).
@@ -599,22 +601,22 @@ def heat_surface_water_sink(grid: Grid, params: SolverParameters,
     if not params.heat_vapor:
         return jnp.zeros(grid.shape, params.dtype)
 
-    h_field = water.h if hasattr(water, "h") else water
+    psi = (water.h - grid.z) if hasattr(water, "h") else water
     hs_mask = boundary.mask & grid.mask[1] & grid.mask[0]
     if conductances is not None:
         aero_k, soil_k = conductances
     else:
         aero_k, soil_k = surface_conductances(grid, params, heat, boundary,
-                                              h_field)
+                                              grid.z + psi)
     area = grid.area
 
     soil_evap = atmospheric_latent_vapor_flux(
-        grid, params, heat, boundary, h_field, aero_k,
+        grid, params, heat, boundary, psi, aero_k,
         soil_k) / WATER_DENSITY * area
 
     # surface water fraction (getNodeSurfaceWaterFraction,
     # soilPhysics.cpp:317-326)
-    h_v = jnp.maximum(h_field[0] - grid.z[0], 0.0)
+    h_v = jnp.maximum(psi[0], 0.0)
     h_0 = jnp.maximum(grid.pond_max, 0.001)
     swf = jnp.minimum(h_v / h_0, 1.0)
 
@@ -625,7 +627,7 @@ def heat_surface_water_sink(grid: Grid, params: SolverParameters,
     surf_evap = jnp.maximum(surf_evap, -(h_v * area) / dt)
 
     # bound soil evaporation by extractable/absorbable water content
-    theta = theta_from_signed_psi(grid, params, h_field - grid.z)[1]
+    theta = theta_from_signed_psi(grid, params, psi)[1]
     theta_r = grid.soil.theta_r[1]
     theta_s = grid.soil.theta_s[1]
     vol1 = grid.volume[1]

@@ -80,12 +80,11 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
             and params.sweep_dtype != params.dtype)
 
     if fast:
-        # assemble_fast already produced the system in f32 psi-form (the
+        # psi-carry: the system AND x0 are already f32 psi-form (the
         # elevation terms entered the RHS as static per-link dz during
-        # assembly — no f64 fold needed here)
-        sd = params.sweep_dtype
+        # assembly); the solve stays in psi space end to end
         sweep_sys = system
-        x_init = jnp.where(grid.mask, x0 - grid.z, 0.0).astype(sd)
+        x_init = x0
         tol = max(tol, 1e-7)
     else:
         sweep_sys = system
@@ -102,9 +101,6 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
     if params.inner_solver == "cg":
         x, diverged = _cg_solve(sweep_sys, x_init, grid, params,
                                 max_iter, tol, psi_form=fast)
-        if fast:
-            x = grid.z + x.astype(params.dtype)
-            x = jnp.where(grid.mask, x, 0.0)
         return x, diverged, jnp.asarray(max_iter, jnp.int32)
 
     use_pallas = fast and params.use_pallas
@@ -114,8 +110,6 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
         x, diverged, n_it = jacobi_solve_loop(
             sweep_sys.b, sweep_sys.c_up, sweep_sys.c_down, sweep_sys.c_lat,
             mask_f, x_init, max_iter, tol, grid.n_nodes, mesh=params.mesh)
-        x = grid.z + x.astype(params.dtype)
-        x = jnp.where(grid.mask, x, 0.0)
         return x, diverged, n_it
 
     def cond(c):
@@ -139,10 +133,6 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
     x, n_it, _, _, diverged = lax.while_loop(
         cond, body, (x_init, jnp.zeros((), jnp.int32), best0,
                      jnp.zeros((), bool), jnp.zeros((), bool)))
-
-    if fast:
-        x = grid.z + x.astype(params.dtype)
-        x = jnp.where(grid.mask, x, 0.0)
     return x, diverged, n_it
 
 
@@ -268,27 +258,36 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
     """One attempt at time step ``dt`` (waterApproximationLoop,
     cpusolver.cpp:392-468).
 
-    ``extra_flux_fn(h, k) -> (L,R,C) [m3 s-1]`` is the invariantFluxes
+    ``extra_flux_fn(psi, k) -> (L,R,C) [m3 s-1]`` is the invariantFluxes
     mechanism (water.cpp:329-341, cpusolver.cpp:388): heat-coupling water
     flows re-evaluated at EVERY Picard iteration, entering the RHS but not
-    the balance sums. ``boundary_flux_fn(h, dt) -> (L,R,C) [m3 s-1]`` is a
-    per-iteration BOUNDARY flow (the HeatSurface evaporative water sink,
+    the balance sums. ``boundary_flux_fn(psi, dt) -> (L,R,C) [m3 s-1]`` is
+    a per-iteration BOUNDARY flow (the HeatSurface evaporative water sink,
     water.cpp:708-747) that — like any boundary rate — enters the RHS AND
-    the balance sums."""
+    the balance sums. Both receive SIGNED PSI (h - z; f32 on the fast
+    path, f64 otherwise).
+
+    PSI-CARRY: on the fast path the caller passes ``h``/``h_old``/``se``
+    as f32 signed-psi / saturation fields and the whole Picard loop runs
+    in that representation — no f64 element-wise work per iteration; f64
+    total heads are reconstructed once on step acceptance."""
     dtype = params.dtype
     zero = jnp.zeros((), dtype)
     fast = (params.sweep_dtype is not None
             and params.sweep_dtype != params.dtype)
-    if fast:
-        # loop-invariant: start-of-step state in f32 psi-form
-        psi_old32 = jnp.where(grid.mask, h_old - grid.z,
-                              0.0).astype(params.sweep_dtype)
+    psi_old32 = h_old if fast else None
 
     def evaluate(carry: _ApproxCarry) -> _ApproxCarry:
         """evaluateWaterBalance (water.cpp:165-227) + acceptStep/restoreBestStep."""
         approx = carry.approx
-        storage, sink, mbe, mbr = W.current_mass_balance(
-            grid, params, carry.h, carry.se, carry.water_flow, prev_storage, dt)
+        if fast:
+            storage, sink, mbe, mbr = W.current_mass_balance_psi(
+                grid, params, carry.h, carry.se, carry.water_flow,
+                prev_storage, dt)
+        else:
+            storage, sink, mbe, mbr = W.current_mass_balance(
+                grid, params, carry.h, carry.se, carry.water_flow,
+                prev_storage, dt)
         err = jnp.abs(mbr)
         is_nan = ~jnp.isfinite(err)
         can_halve = dt > params.delta_t_min
@@ -326,16 +325,27 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
         def do_restore(_):
             # restoreBestStep (water.cpp:253-267)
             h_r = best_h
-            se_r = W.compute_se(grid, params, h_r)
-            _, k_r = W.compute_capacity(grid, params, h_r, h_old, se_r)
-            flow_r, rate_r = W.update_boundary_water(
-                grid, params, h_r, h_old, k_r, sink_source, pond, dt)
-            if boundary_flux_fn is not None:
-                br_r = boundary_flux_fn(h_r, dt)
-                flow_r = flow_r + br_r
-                rate_r = rate_r + br_r
-            bal_r = W.current_mass_balance(
-                grid, params, h_r, se_r, flow_r, prev_storage, dt)
+            if fast:
+                se_r = W.compute_se_psi(grid, params, h_r)
+                # the fused assembly recomputes flows and k for the
+                # restored iterate (the stencil part is discarded;
+                # restores are rare)
+                _, flow_r, rate_r, k_r = W.assemble_fast(
+                    grid, params, h_r, psi_old32, se_r, sink_source, pond,
+                    carry.approx, dt, boundary_flux_fn=boundary_flux_fn)
+                bal_r = W.current_mass_balance_psi(
+                    grid, params, h_r, se_r, flow_r, prev_storage, dt)
+            else:
+                se_r = W.compute_se(grid, params, h_r)
+                _, k_r = W.compute_capacity(grid, params, h_r, h_old, se_r)
+                flow_r, rate_r = W.update_boundary_water(
+                    grid, params, h_r, h_old, k_r, sink_source, pond, dt)
+                if boundary_flux_fn is not None:
+                    br_r = boundary_flux_fn(h_r - grid.z, dt)
+                    flow_r = flow_r + br_r
+                    rate_r = rate_r + br_r
+                bal_r = W.current_mass_balance(
+                    grid, params, h_r, se_r, flow_r, prev_storage, dt)
             return h_r, se_r, k_r, flow_r, rate_r, bal_r
 
         def no_restore(_):
@@ -355,7 +365,7 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
         if fast:
             # single fused f32 psi-form pass (capacity + boundary + stencil)
             system, flow, rate, k = W.assemble_fast(
-                grid, params, carry.h, h_old, psi_old32, carry.se,
+                grid, params, carry.h, psi_old32, carry.se,
                 sink_source, pond, approx, dt, extra_flux_fn=extra_flux_fn,
                 boundary_flux_fn=boundary_flux_fn)
         else:
@@ -363,12 +373,14 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
                                              carry.se)
             flow, rate = W.update_boundary_water(
                 grid, params, carry.h, h_old, k, sink_source, pond, dt)
+            if boundary_flux_fn is not None or extra_flux_fn is not None:
+                psi64 = carry.h - grid.z
             if boundary_flux_fn is not None:
-                br = boundary_flux_fn(carry.h, dt)
+                br = boundary_flux_fn(psi64, dt)
                 flow = flow + br
                 rate = rate + br
             flow_rhs = flow if extra_flux_fn is None else \
-                flow + extra_flux_fn(carry.h, k)
+                flow + extra_flux_fn(psi64, k)
             system = W.assemble_system(
                 grid, params, carry.h, h_old, k, flow_rhs, capacity, pond,
                 approx, dt)
@@ -401,7 +413,8 @@ def _approximation_loop(grid: Grid, params: SolverParameters,
 
             def update_branch(carry):
                 h_new = x
-                se_new = W.compute_se(grid, params, h_new)
+                se_new = (W.compute_se_psi(grid, params, h_new) if fast
+                          else W.compute_se(grid, params, h_new))
                 carry = carry._replace(
                     h=h_new, se=se_new, k=k, water_flow=flow,
                     boundary_rate=rate, courant=system.courant)
@@ -465,18 +478,32 @@ def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
                   max_time_step: jax.Array, extra_flux_fn=None,
                   boundary_flux_fn=None):
     dtype = params.dtype
+    fast = (params.sweep_dtype is not None
+            and params.sweep_dtype != params.dtype)
 
     def body(c: _StepCarry) -> _StepCarry:
         st = c.state
         dt = jnp.minimum(st.dt_curr, max_time_step)
         h_old = st.h
-        se = W.compute_se(grid, params, st.h)
 
-        out = _approximation_loop(
-            grid, params, st.h, h_old, se, st.sink_source, st.pond,
-            st.balance_prev.storage, dt, st.dt_curr,
-            extra_flux_fn=extra_flux_fn,
-            boundary_flux_fn=boundary_flux_fn)
+        if fast:
+            # psi-carry: ONE f64 subtraction per attempt, then the whole
+            # Picard loop runs in f32 signed psi
+            sd = params.sweep_dtype
+            psi_seed = jnp.where(grid.mask, st.h - grid.z, 0.0).astype(sd)
+            se_seed = W.compute_se_psi(grid, params, psi_seed)
+            out = _approximation_loop(
+                grid, params, psi_seed, psi_seed, se_seed, st.sink_source,
+                st.pond, st.balance_prev.storage, dt, st.dt_curr,
+                extra_flux_fn=extra_flux_fn,
+                boundary_flux_fn=boundary_flux_fn)
+        else:
+            se = W.compute_se(grid, params, st.h)
+            out = _approximation_loop(
+                grid, params, st.h, h_old, se, st.sink_source, st.pond,
+                st.balance_prev.storage, dt, st.dt_curr,
+                extra_flux_fn=extra_flux_fn,
+                boundary_flux_fn=boundary_flux_fn)
 
         accepted = out.result == ACCEPTED
         # NAN is fatal; a RUNNING leak is impossible by construction (the last
@@ -500,22 +527,47 @@ def _compute_step(grid: Grid, params: SolverParameters, state: WaterState,
             # we use physical conductances, not post-preconditioning values)
             h_n = out.h
             a_down = jnp.roll(out.a_up, -1, axis=0).at[-1].set(0.0)
-            f_up = out.a_up * (jnp.roll(h_n, 1, axis=0) - h_n) * dt
-            f_down = a_down * (jnp.roll(h_n, -1, axis=0) - h_n) * dt
-            f_lat = [out.a_lat[i] * (W.shift2d(h_n, di, dj) - h_n) * dt
-                     for i, (di, dj) in enumerate(W.LATERAL_OFFSETS)]
+            if fast:
+                # psi-space head differences need the static per-link dz
+                sd32 = params.sweep_dtype
+                vd32 = grid.vert_dist.astype(sd32)
+                dzl32 = grid.dz_lat.astype(sd32)
+                f_up = out.a_up * (jnp.roll(h_n, 1, axis=0) - h_n
+                                   + vd32) * dt
+                f_down = a_down * (jnp.roll(h_n, -1, axis=0) - h_n
+                                   - jnp.roll(vd32, -1, axis=0)) * dt
+                f_lat = [out.a_lat[i] * (W.shift2d(h_n, di, dj) - h_n
+                                         + dzl32[i]) * dt
+                         for i, (di, dj) in enumerate(W.LATERAL_OFFSETS)]
+            else:
+                f_up = out.a_up * (jnp.roll(h_n, 1, axis=0) - h_n) * dt
+                f_down = a_down * (jnp.roll(h_n, -1, axis=0) - h_n) * dt
+                f_lat = [out.a_lat[i] * (W.shift2d(h_n, di, dj) - h_n) * dt
+                         for i, (di, dj) in enumerate(W.LATERAL_OFFSETS)]
             flows = jnp.stack([f_up, f_down] + f_lat)
             new_link = jnp.where(accepted, st.link_flow_sum + flows,
                                  st.link_flow_sum)
         else:
             new_link = st.link_flow_sum
 
+        if fast:
+            # reconstruct the f64 state once per accepted step
+            h_acc = jnp.where(grid.mask,
+                              grid.z + out.h.astype(dtype), 0.0)
+            se_acc = out.se.astype(dtype)
+            k_acc = out.k.astype(dtype)
+            best_acc = jnp.where(grid.mask,
+                                 grid.z + out.best_h.astype(dtype), 0.0)
+        else:
+            h_acc, se_acc, k_acc = out.h, out.se, out.k
+            best_acc = out.best_h
+
         new_state = WaterState(
-            h=jnp.where(accepted, out.h, h_old),
+            h=jnp.where(accepted, h_acc, h_old),
             h_old=jnp.where(accepted, h_old, st.h_old),
-            best_h=out.best_h,
-            se=jnp.where(accepted, out.se, st.se),
-            k=jnp.where(accepted, out.k, st.k),
+            best_h=best_acc,
+            se=jnp.where(accepted, se_acc, st.se),
+            k=jnp.where(accepted, k_acc, st.k),
             sink_source=st.sink_source,
             pond=st.pond,
             boundary_flow_sum=jnp.where(accepted, new_bflow,

@@ -423,7 +423,7 @@ def assemble_system(grid: Grid, params: SolverParameters,
 # ----------------------------------------------------------------------
 
 def assemble_fast(grid: Grid, params: SolverParameters,
-                  h: jax.Array, h_old: jax.Array, psi_old: jax.Array,
+                  psi: jax.Array, psi_old: jax.Array,
                   se: jax.Array, sink_source: jax.Array, pond: jax.Array,
                   approx: jax.Array, dt: jax.Array, extra_flux_fn=None,
                   boundary_flux_fn=None):
@@ -444,26 +444,26 @@ def assemble_fast(grid: Grid, params: SolverParameters,
     with z_j - z_i = +vert_dist[l] (up), -vert_dist[l+1] (down) and
     grid.dz_lat[k] (lateral, layer-independent).
 
-    Returns ``(system, water_flow, boundary_rate, k)`` with the system in
-    float32/psi-form and the three fields cast back to ``params.dtype`` so
-    every carry/state dtype is unchanged. Only meaningful when
-    ``params.sweep_dtype`` is set (the fast path).
+    PSI-NATIVE since the psi-carry refactor: ``psi``/``psi_old``/``se``
+    are float32 signed-psi / saturation fields (the Picard loop carries
+    them directly, reconstructing f64 total heads only on step
+    acceptance); all outputs ``(system, water_flow, boundary_rate, k)``
+    stay in the sweep dtype. Callbacks receive SIGNED PSI:
+    ``extra_flux_fn(psi, k)``, ``boundary_flux_fn(psi, dt)``. Only
+    meaningful when ``params.sweep_dtype`` is set (the fast path).
     """
     sd = params.sweep_dtype
-    dtype = params.dtype
     mask = grid.mask
     soil32 = _soil_wd(grid, sd)
     dt32 = jnp.asarray(dt, sd)
     lvr = jnp.asarray(params.lateral_vertical_ratio, sd)
 
-    psi = (h - grid.z).astype(sd)
-    psi = jnp.where(mask, psi, 0.0)
     avg_psi = 0.5 * (psi + psi_old)
     vol32 = grid.volume.astype(sd)
     area32 = jnp.asarray(grid.area, sd)
 
     # --- capacity + conductivity (compute_capacity fast branch) ---------
-    k = mualem_conductivity(soil32, se.astype(sd), params.wrc_model)
+    k = mualem_conductivity(soil32, se, params.wrc_model)
     k = jnp.where(mask, k, 0.0).at[0].set(0.0)
 
     psi_c = jnp.abs(jnp.minimum(psi, 0.0))
@@ -479,9 +479,9 @@ def assemble_fast(grid: Grid, params: SolverParameters,
     # se at the current iterate was already computed by compute_se from the
     # same h and retention model — reuse it instead of re-evaluating the
     # retention curve (one full-field VG pass per Picard iteration)
-    se_c = se.astype(sd)
+    se_c = se
     se_p = se_from_psi(soil32, psi_p, params.wrc_model)
-    dh32 = (h - h_old).astype(sd)
+    dh32 = psi - psi_old
     dse_s = jnp.abs((se_c - se_p) / jnp.where(dh32 != 0, dh32, 1.0))
     resolvable = jnp.abs(psi_c - psi_p) > 1e-4
     dse = jnp.where(resolvable, dse_s, dse_a)
@@ -575,7 +575,7 @@ def assemble_fast(grid: Grid, params: SolverParameters,
     if boundary_flux_fn is not None:
         # per-iteration boundary flow (HeatSurface evaporative water sink,
         # water.cpp:708-747): enters RHS and balance like any boundary rate
-        br = boundary_flux_fn(h, dt).astype(sd)
+        br = boundary_flux_fn(psi, dt).astype(sd)
         rate = rate + br
     water_flow = flow + rate
 
@@ -671,7 +671,7 @@ def assemble_fast(grid: Grid, params: SolverParameters,
     # only, water.cpp:130-141)
     rhs_flow = water_flow
     if extra_flux_fn is not None:
-        rhs_flow = water_flow + extra_flux_fn(h, k.astype(dtype)).astype(sd)
+        rhs_flow = water_flow + extra_flux_fn(psi, k).astype(sd)
 
     vd_down = jnp.roll(vd32, -1, axis=0)
     b = (capacity / dt32) * psi_old + rhs_flow
@@ -687,10 +687,51 @@ def assemble_fast(grid: Grid, params: SolverParameters,
         c_down=a_down * inv_diag,
         c_lat=a_lat * inv_diag[None],
         diag=diag,
-        courant=courant.astype(dtype),
+        courant=courant.astype(params.dtype),
     )
-    return (system, water_flow.astype(dtype), rate.astype(dtype),
-            k.astype(dtype))
+    return system, water_flow, rate, k
+
+
+def compute_se_psi(grid: Grid, params: SolverParameters,
+                   psi: jax.Array) -> jax.Array:
+    """Degree of saturation from SIGNED PSI in the sweep dtype (the
+    psi-carry form of :func:`compute_se`; computeNodeSe,
+    soilPhysics.cpp:68-83)."""
+    sd = psi.dtype
+    soil32 = _soil_wd(grid, sd)
+    se = jnp.where(psi >= 0, 1.0,
+                   se_from_psi(soil32, jnp.abs(psi), params.wrc_model))
+    se = se.at[0].set(1.0)
+    return jnp.where(grid.mask, se, 0.0)
+
+
+def current_mass_balance_psi(grid: Grid, params: SolverParameters,
+                             psi: jax.Array, se: jax.Array,
+                             water_flow: jax.Array,
+                             prev_storage: jax.Array, dt: jax.Array):
+    """(storage, sink, MBE, MBR) from the f32 psi-carry state.
+
+    Same f64 accumulation discipline as :func:`current_mass_balance` —
+    the values are f32-quantised exactly as they were when the f64 head
+    was reconstructed from f32 psi, so the acceptance gate's meaning is
+    unchanged (computeCurrentMassBalance, water.cpp:96-123)."""
+    sd = psi.dtype
+    vol32 = grid.volume.astype(sd)
+    surf = jnp.where(grid.mask[0], jnp.maximum(psi[0], 0.0) * vol32[0], 0.0)
+    theta = theta_from_se(_soil_wd(grid, sd), se)
+    soil = jnp.where(grid.mask, theta * vol32, 0.0).at[0].set(0.0)
+    storage = (jnp.sum(surf, dtype=jnp.float64)
+               + jnp.sum(soil, dtype=jnp.float64)).astype(params.dtype)
+    delta_storage = storage - prev_storage
+    sink = (jnp.sum(jnp.where(grid.mask, water_flow, 0.0),
+                    dtype=jnp.float64) * dt).astype(params.dtype)
+    mbe = delta_storage - sink
+
+    time_pct = 0.001 * jnp.maximum(dt, 30.0) / 3600.0
+    min_ref = jnp.maximum(storage * time_pct, 0.001)
+    ref_water = jnp.maximum(jnp.abs(sink), min_ref)
+    mbr = mbe / ref_water
+    return storage, sink, mbe, mbr
 
 
 def jacobi_sweep(system: LinearSystem, x: jax.Array, grid: Grid,
