@@ -1,5 +1,10 @@
 """Time breakdown of the Ravone bench hour: assembly vs sweeps vs balance.
 
+CAVEAT: single-block timings through the remote-TPU tunnel are flaky
+(identical programs have produced 0.0-6x spreads between invocations);
+treat bench.py as the authoritative wall-clock and these shares as
+indicative only.
+
 VERDICT round-1 item 3 asked where the wall-clock goes. This script times
 the three building blocks of the solver in isolation on the bench grid and
 combines them with the per-hour counters bench.py reports
@@ -85,44 +90,39 @@ def main():
     jax.block_until_ready(state.h)
     dt = jnp.asarray(300.0, params.dtype)
 
-    h, h_old, pond = state.h, state.h_old, state.pond
+    pond = state.pond
     from jax import lax
 
-    def assembly_of(h):
-        se = W.compute_se(grid, params, h)
-        capacity, k = W.compute_capacity(grid, params, h, h_old, se)
-        flow, rate = W.update_boundary_water(grid, params, h, h_old, k,
-                                             state.sink_source, pond, dt)
-        return W.assemble_system(grid, params, h, h_old, k, flow, capacity,
-                                 pond, jnp.asarray(0, jnp.int32), dt)
-
-    system = jax.jit(assembly_of)(h)
-    jax.block_until_ready(system.b)
-
     sd = params.sweep_dtype or params.dtype
-    sweep_sys = W.LinearSystem(
-        b=system.b.astype(sd), c_up=system.c_up.astype(sd),
-        c_down=system.c_down.astype(sd), c_lat=system.c_lat.astype(sd),
-        diag=system.diag, courant=system.courant)
-    psi0 = (h - grid.z).astype(sd)
+    psi0 = jnp.where(grid.mask,
+                     state.h - grid.z, 0.0).astype(sd)
+    se0 = W.compute_se_psi(grid, params, psi0)
 
-    def balance_of(h):
-        se = W.compute_se(grid, params, h)
-        flow, _ = W.update_boundary_water(grid, params, h, h_old,
-                                          state.k, state.sink_source, pond,
-                                          dt)
-        return W.current_mass_balance(grid, params, h, se, flow,
-                                      state.balance_prev.storage, dt)
+    def assembly_of(psi):
+        se = W.compute_se_psi(grid, params, psi)
+        return W.assemble_fast(grid, params, psi, psi0, se,
+                               state.sink_source, pond,
+                               jnp.asarray(0, jnp.int32), dt)
+
+    system, _, _, _ = jax.jit(assembly_of)(psi0)
+    jax.block_until_ready(system.b)
+    sweep_sys = system
+
+    def balance_of(psi):
+        se = W.compute_se_psi(grid, params, psi)
+        return W.current_mass_balance_psi(grid, params, psi, se,
+                                          jnp.zeros_like(psi),
+                                          state.balance_prev.storage, dt)
 
     # each loop body must depend on the previous iterate, or XLA hoists the
     # whole computation out of the fori_loop
     def assembly_loop(n):
         @jax.jit
-        def run(h):
-            def body(i, h):
-                sys = assembly_of(h)
-                return h + 1e-30 * sys.b
-            return lax.fori_loop(0, n, body, h)
+        def run(psi):
+            def body(i, psi):
+                sys, _, _, _ = assembly_of(psi)
+                return psi + 1e-12 * sys.b
+            return lax.fori_loop(0, n, body, psi)
         return run
 
     def sweep_loop(n):
@@ -136,16 +136,16 @@ def main():
 
     def balance_loop(n):
         @jax.jit
-        def run(h):
-            def body(i, h):
-                storage, sink, mbe, mbr = balance_of(h)
-                return h + 1e-30 * mbr
-            return lax.fori_loop(0, n, body, h)
+        def run(psi):
+            def body(i, psi):
+                storage, sink, mbe, mbr = balance_of(psi)
+                return psi + 1e-12 * mbr.astype(psi.dtype)
+            return lax.fori_loop(0, n, body, psi)
         return run
 
-    t_assembly = timed_loop(assembly_loop, h, n=30)
+    t_assembly = timed_loop(assembly_loop, psi0, n=30)
     t_sweep = timed_loop(sweep_loop, psi0, n=100)
-    t_balance = timed_loop(balance_loop, h, n=30)
+    t_balance = timed_loop(balance_loop, psi0, n=30)
 
     # Pallas bundled-sweep kernel (K sweeps per HBM pass) for the
     # XLA-vs-Pallas default decision
