@@ -236,3 +236,45 @@ class TestReferenceParitySoak:
         schedule = [1.0] * 6 + [0.0] * 18
         compare_scheduled(grid, params, psi0, base_sink, schedule, tmp_path,
                           "soak24", atol=1e-5)
+
+
+@pytest.mark.skipif(not REF_AVAILABLE, reason="reference tree not mounted")
+class TestReferenceParityRandomized:
+    """Randomized-parameter columns against the compiled reference: five
+    draws over the realistic van Genuchten / forcing space (clay to sand,
+    wet to dry starts, drizzle to downpour) guard the solver across the
+    parameter range rather than at hand-picked points."""
+
+    @classmethod
+    def setup_class(cls):
+        if not ensure_runner():
+            pytest.skip("reference solver build failed")
+
+    def test_random_columns(self, tmp_path):
+        rng = np.random.default_rng(42)
+        for case in range(5):
+            alpha = float(rng.uniform(0.5, 3.5))        # [m-1]
+            vg_n = float(rng.uniform(1.2, 2.4))
+            k_sat = float(10 ** rng.uniform(-7.0, -4.5))  # [m s-1]
+            theta_r = float(rng.uniform(0.02, 0.10))
+            theta_s = float(rng.uniform(0.35, 0.50))
+            psi_init = float(rng.uniform(-6.0, -0.3))    # [m]
+            rain = float(rng.uniform(0.0, 25.0))         # [mm h-1]
+
+            dem = np.zeros((1, 1))
+            soil = SoilFields.uniform((1, 1), vg_alpha=alpha, vg_n=vg_n,
+                                      vg_he=0.02, theta_s=theta_s,
+                                      theta_r=theta_r, k_sat=k_sat)
+            grid = Grid.build(dem, 2.0, soil, total_depth=0.8,
+                              free_catchment_runoff=False,
+                              free_bottom_drainage=bool(case % 2),
+                              free_lateral_drainage=False)
+            params = SolverParameters()
+            psi0 = np.full(grid.shape, psi_init)
+            psi0[0] = 0.0
+            sink = np.zeros(grid.shape)
+            sink[0] = rain * float(grid.area) / 3600.0 / 1000.0
+            name = f"rand{case}"
+            err = compare(grid, params, psi0, sink, 2, tmp_path, name,
+                          atol=1e-5)
+            assert err < 1e-5, f"case {case}: {err:.2e}"
