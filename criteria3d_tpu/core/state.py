@@ -105,15 +105,17 @@ class SolverParameters:
 
     @staticmethod
     def fast_f32(**overrides) -> "SolverParameters":
-        """Mixed-precision preset: f64 assembly + f32 psi-form Jacobi sweeps.
+        """Mixed-precision preset: the f32 psi-carry production path.
 
-        The reference is FP64 throughout (types_gpu.h:34). Here the hot inner
-        loop (hundreds of sweeps per Picard iteration) and the
-        transcendental-heavy conductance assembly run in float32 on the
-        native TPU VPU while state, psi differences and mass balance stay
-        f64; float32 cannot reach the reference's 1e-10 residual so the
-        inner tolerance is relaxed to 1e-7 (the 1e-3 MBR acceptance gate —
-        the actual accuracy contract — is unchanged and evaluated in f64).
+        The reference is FP64 throughout (types_gpu.h:34). Here the whole
+        Picard loop — assembly, sweeps, balance values — runs in float32
+        SIGNED-PSI form on the native TPU VPU (head offsets from node
+        elevation plus static per-link dz, so f32 never differences
+        absolute heads); the f64 state is reconstructed once per accepted
+        step and balance sums still ACCUMULATE in f64. float32 cannot
+        reach the reference's 1e-10 residual so the inner tolerance is
+        relaxed to 1e-7 (the 1e-3 MBR acceptance gate — the actual
+        accuracy contract — is unchanged and evaluated in f64).
         Accuracy: heads match the f64 path to <1 mm on a locked time-step
         trajectory; free-running, adaptive-dt decisions may flip near
         thresholds, bounding agreement by the scheme's own inter-trajectory

@@ -68,10 +68,11 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
     (cpusolver.cpp:672-703) with the per-approximation iteration budget
     max(25, (approx+1)·maxIter/maxApprox) (solver.h:55-59).
 
-    When ``params.sweep_dtype`` is float32, the sweeps run in psi-form
-    (x = z + psi): the elevation part of the RHS is folded in once here (in
-    the assembly dtype), so neighbour differences inside the f32 hot loop
-    keep full precision over a catchment with hundreds of metres of relief.
+    When ``params.sweep_dtype`` is float32 (psi-carry fast path), ``x0``
+    and the system are ALREADY f32 signed psi — elevation entered the RHS
+    as static per-link dz during assembly, so neighbour differences inside
+    the f32 hot loop keep full precision over a catchment with hundreds of
+    metres of relief, and the solve returns psi.
     """
     max_iter = params.max_iterations_for(approx)
     tol = params.residual_tolerance
