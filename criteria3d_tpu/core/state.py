@@ -66,11 +66,11 @@ class SolverParameters:
     # False uses the averaged level.
     culvert_reference_compat: bool = True
     dtype: type = jnp.float64
-    # Inner Jacobi-sweep precision. None = same as dtype. float32 runs the
-    # hot sweeps on the native TPU VPU in psi-form (head offset from node
-    # elevation): neighbour head differences keep full precision because the
-    # large elevation component is folded into the f64-assembled RHS once per
-    # Picard iteration, not rounded every sweep.
+    # Inner solve precision. None = same as dtype. float32 runs the whole
+    # Picard loop (assembly + sweeps + balance values) on the native TPU VPU
+    # in signed-psi form (head offset from node elevation): links difference
+    # psi plus a static per-link dz, so f32 never differences absolute heads;
+    # the f64 total-head state is reconstructed once per accepted step.
     sweep_dtype: type | None = None
     # Run the f32 sweeps through the Pallas bundled kernel
     # (solver/pallas_jacobi.py): K sweeps per HBM pass with VMEM-resident
