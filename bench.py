@@ -91,18 +91,18 @@ def main():
     # fast mode: f64 state + f32 assembly/psi-form sweeps (validated to <1 mm
     # of the f64 path on a locked dt trajectory, tests/test_fast_f32.py);
     # BENCH_MODE=ref for pure f64
-    inner = "cg" if os.environ.get("BENCH_CG", "0") == "1" else "jacobi"
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    inner = "jacobi" if (use_pallas or
+                         os.environ.get("BENCH_CG", "1") != "1") else "cg"
     if os.environ.get("BENCH_MODE", "fast") == "fast":
-        # With the all-f32 psi-form assembly (round 3) the pure-XLA sweep
-        # path overtook the Pallas bundle on single chip (1.75 vs 1.97
-        # s/sim-hour: per-sweep convergence checks need ~40% fewer sweeps
-        # than the K=8 bundle granularity, and the f32 stencil sweeps hit
-        # HBM roofline either way) — so XLA sweeps are the production
-        # default; BENCH_PALLAS=1 selects the Pallas bundled kernel
-        # (still the validated multi-chip shard_map path).
+        # Production default = f32 psi-carry + preconditioned CG inner
+        # solver (1.39 vs 1.52 s/sim-hour over XLA Jacobi sweeps: tighter
+        # inner convergence lets dt grow, 57 vs 81 steps/sim-hour).
+        # BENCH_CG=0 selects XLA Jacobi sweeps; BENCH_PALLAS=1 the Pallas
+        # bundled Jacobi kernel (still the validated multi-chip shard_map
+        # path; implies Jacobi).
         params = SolverParameters.fast_f32(
-            use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
-            inner_solver=inner)
+            use_pallas=use_pallas, inner_solver=inner)
     else:
         params = SolverParameters(inner_solver=inner)
 

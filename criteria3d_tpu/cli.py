@@ -213,10 +213,9 @@ class Shell:
                   else SolverParameters())
         if self.fast:
             import dataclasses as _dc
-            import jax as _jax
             import jax.numpy as _jnp
             params = _dc.replace(params, sweep_dtype=_jnp.float32,
-                                 use_pallas=_jax.default_backend() == "tpu")
+                                 inner_solver="cg")
         mconfig = ModelConfig(
             latitude=cfg.latitude if cfg else 44.5,
             longitude=cfg.longitude if cfg else 11.3)

