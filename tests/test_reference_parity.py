@@ -278,3 +278,35 @@ class TestReferenceParityRandomized:
             err = compare(grid, params, psi0, sink, 2, tmp_path, name,
                           atol=1e-5)
             assert err < 1e-5, f"case {case}: {err:.2e}"
+
+    def test_random_hillslopes(self, tmp_path):
+        """Randomized 3-D hillslopes: lateral flow + runoff + the Courant
+        limiter active, over three draws of terrain steepness, soil and
+        forcing (the columns above never exercise the lateral stencil)."""
+        rng = np.random.default_rng(7)
+        for case in range(3):
+            n = 5
+            slope = float(rng.uniform(0.1, 0.6))       # [m/cell]
+            cross = float(rng.uniform(0.0, 0.3))
+            alpha = float(rng.uniform(0.8, 2.5))
+            vg_n = float(rng.uniform(1.25, 2.0))
+            k_sat = float(10 ** rng.uniform(-6.5, -5.0))
+            psi_init = float(rng.uniform(-3.0, -0.5))
+            rain = float(rng.uniform(2.0, 20.0))        # [mm h-1]
+
+            rows, cols = np.mgrid[0:n, 0:n]
+            dem = 30.0 + (n - 1 - rows) * slope \
+                + np.abs(cols - n // 2) * cross
+            soil = SoilFields.uniform(dem.shape, vg_alpha=alpha, vg_n=vg_n,
+                                      vg_he=0.02, theta_s=0.42,
+                                      theta_r=0.05, k_sat=k_sat)
+            grid = Grid.build(dem, 5.0, soil, total_depth=0.5)
+            params = SolverParameters()
+            psi0 = np.full(grid.shape, psi_init)
+            psi0[0] = 0.0
+            sink = np.zeros(grid.shape)
+            sink[0] = np.where(np.asarray(grid.mask[0]),
+                               rain * float(grid.area) / 3600.0 / 1000.0, 0.0)
+            err = compare(grid, params, psi0, sink, 2, tmp_path,
+                          f"randhill{case}", atol=1e-5)
+            assert err < 1e-5, f"hillslope case {case}: {err:.2e}"
