@@ -1,9 +1,11 @@
 """Time breakdown of the Ravone bench hour: assembly vs sweeps vs balance.
 
 CAVEAT: single-block timings through the remote-TPU tunnel are flaky
-(identical programs have produced 0.0-6x spreads between invocations);
-treat bench.py as the authoritative wall-clock and these shares as
-indicative only.
+(identical programs have produced 0.0-6x spreads between invocations;
+back-to-back runs of this script have returned opposite breakdowns, with
+whole blocks reading 0.0 on a contended chip); treat bench.py as the
+authoritative wall-clock and these shares as indicative only, preferably
+from the minimum over several runs on a quiet chip.
 
 VERDICT round-1 item 3 asked where the wall-clock goes. This script times
 the three building blocks of the solver in isolation on the bench grid and
@@ -143,9 +145,40 @@ def main():
             return lax.fori_loop(0, n, body, psi)
         return run
 
+    # one CG iteration (production inner solver): preconditioned matvec +
+    # two M-weighted f64 dot products + the psi-weighted norm pass +
+    # axpy updates — mirrors the _cg_solve body (solver/step.py)
+    diag = sweep_sys.diag.astype(psi0.dtype)
+    z_field = grid.z.astype(psi0.dtype)
+
+    def cg_iter_loop(n):
+        @jax.jit
+        def run(p):
+            def body(i, carry):
+                p, rho = carry
+                w = p - W.stencil_apply(sweep_sys, p)
+                w = jnp.where(grid.mask, w, 0.0)
+                pAp = jnp.sum(jnp.where(grid.mask, diag * p * w, 0.0),
+                              dtype=jnp.float64).astype(p.dtype)
+                alpha = rho / jnp.where(pAp != 0.0, pAp, 1.0)
+                z = jnp.where(grid.mask, p - alpha * w, 0.0)
+                rho_new = jnp.sum(jnp.where(grid.mask, diag * z * z, 0.0),
+                                  dtype=jnp.float64).astype(p.dtype)
+                apsi = jnp.abs(z)
+                wgt = jnp.where(apsi > 1.0, 1.0 / apsi, 1.0)
+                norm = jnp.sum(jnp.where(grid.mask, jnp.abs(z) * wgt, 0.0)) \
+                    / grid.n_nodes
+                p_new = z + (rho_new / jnp.where(rho != 0.0, rho, 1.0)) * p
+                return (p_new + 1e-12 * norm, rho_new)
+            p_out, _ = lax.fori_loop(0, n, body,
+                                     (p, jnp.ones((), p.dtype)))
+            return p_out
+        return run
+
     t_assembly = timed_loop(assembly_loop, psi0, n=30)
     t_sweep = timed_loop(sweep_loop, psi0, n=100)
     t_balance = timed_loop(balance_loop, psi0, n=30)
+    t_cg_iter = timed_loop(cg_iter_loop, psi0, n=100)
 
     # Pallas bundled-sweep kernel (K sweeps per HBM pass) for the
     # XLA-vs-Pallas default decision
@@ -177,10 +210,12 @@ def main():
     bytes_per_sweep = 13 * 4 * box
     bw = bytes_per_sweep / t_sweep / 1e9
 
-    # counters from the recorded bench (BENCH_r*.json style); fall back to
-    # the round-2 full-res measurement
-    sweeps, assemblies, balances = 720, 160, 160
-    total = (t_assembly * assemblies + t_sweep * sweeps
+    # counters from the recorded bench (BENCH_r*.json style): the CG
+    # production run does 4485 iterations / 136 assemblies / 67 balance
+    # evaluations per simulated hour (BASELINE.md); the Jacobi-sweep
+    # alternative 831 / 173 / 84
+    assemblies, balances, cg_iters = 136, 67, 4485
+    total = (t_assembly * assemblies + t_cg_iter * cg_iters
              + t_balance * balances)
     result = {
         "coarsen": coarsen,
@@ -188,11 +223,12 @@ def main():
         "box_cells": box,
         "t_assembly_s": round(t_assembly, 4),
         "t_sweep_s": round(t_sweep, 5),
+        "t_cg_iter_s": round(t_cg_iter, 5),
         "t_balance_s": round(t_balance, 4),
         "sweep_hbm_gb_per_s": round(bw, 1),
         "est_hour_s": round(total, 1),
         "share_assembly": round(t_assembly * assemblies / total, 3),
-        "share_sweeps": round(t_sweep * sweeps / total, 3),
+        "share_cg_iters": round(t_cg_iter * cg_iters / total, 3),
         "share_balance": round(t_balance * balances / total, 3),
         "platform": jax.devices()[0].platform,
     }
