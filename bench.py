@@ -102,7 +102,8 @@ def main():
         # bundled Jacobi kernel (still the validated multi-chip shard_map
         # path; implies Jacobi).
         params = SolverParameters.fast_f32(
-            use_pallas=use_pallas, inner_solver=inner)
+            use_pallas=use_pallas, inner_solver=inner,
+            cg_precond=os.environ.get("BENCH_CG_PRECOND", "diag"))
     else:
         params = SolverParameters(inner_solver=inner)
 

@@ -96,6 +96,19 @@ class SolverParameters:
     # converged solution. Typically converges in far fewer iterations than
     # Jacobi; uses the same psi-weighted residual norm and tolerance.
     inner_solver: str = "jacobi"
+    # CG preconditioner. "diag" (default) is plain Jacobi (diagonal)
+    # preconditioning. "line" solves the vertical tridiagonal block of
+    # every soil column exactly per iteration (unrolled batched Thomas
+    # over the ~11-layer axis, water.tridiag_vertical_solve) — the classic
+    # remedy for this grid's centimetre-vertical vs metre-lateral
+    # anisotropy, which otherwise dominates the condition number. Measured
+    # on the Ravone catchment: line needs ~2.3x fewer CG iterations and
+    # wins drainage/redistribution hours (0.94 vs 1.23 s), but on the
+    # storm benchmark hour the adaptive-dt controller happens to accept
+    # more steps on the line trajectory (76 vs 57 — the controller is
+    # chaotically sensitive to inner-solve rounding), netting diag the
+    # better storm wall-clock (1.39 vs 1.55 s/sim-hour); see BASELINE.md.
+    cg_precond: str = "diag"
 
     def max_iterations_for(self, approx: int | jax.Array):
         """(approx+1) * maxIter/maxApprox, min 25 (solver.h:55-59)."""

@@ -100,9 +100,8 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
     sweep_sys, x_init = lax.optimization_barrier((sweep_sys, x_init))
 
     if params.inner_solver == "cg":
-        x, diverged = _cg_solve(sweep_sys, x_init, grid, params,
-                                max_iter, tol, psi_form=fast)
-        return x, diverged, jnp.asarray(max_iter, jnp.int32)
+        return _cg_solve(sweep_sys, x_init, grid, params,
+                         max_iter, tol, psi_form=fast)
 
     use_pallas = fast and params.use_pallas
     if use_pallas:
@@ -139,17 +138,27 @@ def _jacobi_solve(system: W.LinearSystem, x0: jax.Array, grid: Grid,
 
 def _cg_solve(system: W.LinearSystem, x_init: jax.Array, grid: Grid,
               params: SolverParameters, max_iter, tol, psi_form: bool):
-    """Jacobi-preconditioned conjugate gradient on the assembled system.
+    """Preconditioned conjugate gradient on the assembled system.
 
     The analogue of the reference's optional "lineal" external CG/PCG solver
     (cpusolver.cpp:608-669, lineal/linealiaLib.h). Works entirely through the
-    stored *preconditioned* stencil: one Jacobi application ``G(x) = b + Cx``
-    gives the preconditioned residual ``z = G(x) - x = D^-1 (b_phys - A x)``,
-    and the preconditioned matvec is ``D^-1 A p = p - C p``; M-weighted dot
-    products use the stored diagonal. Convergence uses the same psi-weighted
-    mean |z| norm as the Jacobi path (z IS the Jacobi update dx), so the
-    residual tolerance keeps its meaning. Like the reference's lineal path,
-    no per-sweep surface clamp — the clamp is applied once at the end.
+    stored *Jacobi-scaled* stencil: one Jacobi application ``G(x) = b + Cx``
+    gives the scaled residual ``s = G(x) - x = D^-1 (b_phys - A x)``, the
+    scaled matvec is ``D^-1 A p = p - C p``, and D-weighted dot products
+    recover the true ``r . z`` / ``p . A p`` inner products.
+
+    Preconditioner (params.cg_precond): "line" solves the vertical
+    tridiagonal block of the operator exactly per iteration
+    (``z = T^-1 s`` via a batched Thomas scan, W.tridiag_vertical_solve) —
+    the grid's cm-vertical vs m-lateral anisotropy otherwise dominates the
+    condition number; "diag" is plain Jacobi preconditioning (z = s, the
+    previous behaviour).
+
+    Convergence uses the same psi-weighted mean |s| norm as the Jacobi
+    path (s IS the Jacobi update dx) for EITHER preconditioner, so the
+    residual tolerance keeps its meaning. Like the reference's lineal
+    path, no per-sweep surface clamp — the clamp is applied once at the
+    end.
 
     Returns (x, diverged); diverged on CG breakdown (pAp <= 0) or a norm
     blow-up past 10x the best seen, mirroring solveLinearSystem's abort.
@@ -158,6 +167,14 @@ def _cg_solve(system: W.LinearSystem, x_init: jax.Array, grid: Grid,
     mask = grid.mask
     diag = system.diag.astype(dt)
     z_field = grid.z.astype(dt)
+    line = params.cg_precond == "line"
+
+    def precond(s):
+        if line:
+            return jnp.where(mask,
+                             W.tridiag_vertical_solve(system.c_up,
+                                                      system.c_down, s), 0.0)
+        return s
 
     def weight_norm(z, x):
         apsi = jnp.abs(x) if psi_form else jnp.abs(x - z_field)
@@ -169,45 +186,47 @@ def _cg_solve(system: W.LinearSystem, x_init: jax.Array, grid: Grid,
         return jnp.sum(jnp.where(mask, diag * a * b, 0.0),
                        dtype=jnp.float64).astype(dt)
 
-    z0 = system.b + W.stencil_apply(system, x_init) - x_init
-    z0 = jnp.where(mask, z0, 0.0)
-    rho0 = mdot(z0, z0)
-    norm0 = weight_norm(z0, x_init)
+    s0 = system.b + W.stencil_apply(system, x_init) - x_init
+    s0 = jnp.where(mask, s0, 0.0)
+    p0 = precond(s0)
+    rho0 = mdot(s0, p0)                              # r . M^-1 r
+    norm0 = weight_norm(s0, x_init)
 
     def cond(c):
         _, _, _, _, it, _, done, _ = c
         return jnp.logical_and(~done, it < max_iter)
 
     def body(c):
-        x, z, p, rho, it, best, done, diverged = c
+        x, s, p, rho, it, best, done, diverged = c
         w = p - W.stencil_apply(system, p)          # D^-1 A p
         w = jnp.where(mask, w, 0.0)
         pAp = mdot(p, w)
         breakdown = pAp <= 0.0
         alpha = jnp.where(breakdown, 0.0, rho / jnp.where(pAp != 0.0, pAp, 1.0))
         x_new = jnp.where(mask, x + alpha * p, 0.0)
-        z_new = jnp.where(mask, z - alpha * w, 0.0)
-        rho_new = mdot(z_new, z_new)
+        s_new = jnp.where(mask, s - alpha * w, 0.0)
+        z_new = precond(s_new)
+        rho_new = mdot(s_new, z_new)
         beta = rho_new / jnp.where(rho != 0.0, rho, 1.0)
         p_new = z_new + beta * p
-        norm = weight_norm(z_new, x_new)
+        norm = weight_norm(s_new, x_new)
         converged = norm < tol
         div = breakdown | jnp.logical_and(~converged, norm > best * 10.0)
         best = jnp.minimum(best, norm)
-        return (x_new, z_new, p_new, rho_new, it + 1, best,
+        return (x_new, s_new, p_new, rho_new, it + 1, best,
                 converged | div, div)
 
-    init = (x_init, z0, z0, rho0, jnp.zeros((), jnp.int32),
+    init = (x_init, s0, p0, rho0, jnp.zeros((), jnp.int32),
             jnp.maximum(norm0, jnp.asarray(tol, norm0.dtype)),
             norm0 < tol, jnp.zeros((), bool))
-    x, _, _, _, _, _, _, diverged = lax.while_loop(cond, body, init)
+    x, _, _, _, n_it, _, _, diverged = lax.while_loop(cond, body, init)
 
     # surface clamp once on the converged solution (JacobiWaterCPU applies
     # it per sweep, water.cpp:583-585; the lineal path not at all)
     floor0 = jnp.zeros_like(z_field[0]) if psi_form else z_field[0]
     x = x.at[0].set(jnp.maximum(x[0], floor0))
     x = jnp.where(mask, x, 0.0)
-    return x, diverged
+    return x, diverged, n_it
 
 
 def _decimal_floor_dt(dt: jax.Array) -> jax.Array:

@@ -795,6 +795,48 @@ def stencil_apply(system: LinearSystem, x: jax.Array) -> jax.Array:
     return acc
 
 
+def tridiag_vertical_solve(c_up: jax.Array, c_down: jax.Array,
+                           rhs: jax.Array) -> jax.Array:
+    """Solve ``T z = rhs`` for the VERTICAL tridiagonal part of the
+    Jacobi-scaled operator: unit diagonal, sub-diagonal ``-c_up[l]``
+    (coupling to layer l-1), super-diagonal ``-c_down[l]`` (to l+1).
+
+    This is the line (block-tridiagonal) preconditioner of the CG inner
+    solver: the catchment grid is extremely anisotropic (layer spacings of
+    centimetres against lateral cell sizes of metres), so the vertical
+    couplings dominate the conditioning; solving them exactly per column
+    collapses the stiff direction. The Thomas elimination runs as a
+    ``lax.scan`` over the (static, ~11) layer axis with whole-(R,C)-plane
+    elementwise ops per layer — batched over every soil column at once,
+    and embarrassingly local under the ('row','col') device mesh (the
+    vertical axis is never sharded, so no collectives).
+
+    Stability: T is strictly diagonally dominant (c_up + c_down <=
+    sum_j a_ij / diag < 1 because diag = C/dt + sum_j a_ij), so the
+    elimination needs no pivoting. Masked-out cells have zero couplings
+    and reduce to the identity row z = rhs.
+    """
+    # Unrolled over the static layer axis (L ~ 11): a lax.scan would compile
+    # to a 2L-step sequential loop of tiny (R,C) kernels; unrolling lets XLA
+    # fuse the whole elimination into a handful of fused elementwise kernels.
+    L = rhs.shape[0]
+    w = [None] * L
+    g = [None] * L
+    w_prev = jnp.zeros_like(rhs[0])
+    g_prev = jnp.zeros_like(rhs[0])
+    for l in range(L):
+        denom = 1.0 + c_up[l] * w_prev
+        w[l] = -c_down[l] / denom
+        g[l] = (rhs[l] + c_up[l] * g_prev) / denom
+        w_prev, g_prev = w[l], g[l]
+
+    z = [None] * L
+    z[L - 1] = g[L - 1]
+    for l in range(L - 2, -1, -1):
+        z[l] = g[l] - w[l] * z[l + 1]
+    return jnp.stack(z)
+
+
 def current_mass_balance(grid: Grid, params: SolverParameters,
                          h: jax.Array, se: jax.Array, water_flow: jax.Array,
                          prev_storage: jax.Array, dt: jax.Array):

@@ -211,10 +211,10 @@ def main():
     bw = bytes_per_sweep / t_sweep / 1e9
 
     # counters from the recorded bench (BENCH_r*.json style): the CG
-    # production run does 4485 iterations / 136 assemblies / 67 balance
+    # production run does 393 iterations / 136 assemblies / 67 balance
     # evaluations per simulated hour (BASELINE.md); the Jacobi-sweep
-    # alternative 831 / 173 / 84
-    assemblies, balances, cg_iters = 136, 67, 4485
+    # alternative 831 sweeps / 173 / 84
+    assemblies, balances, cg_iters = 136, 67, 393
     total = (t_assembly * assemblies + t_cg_iter * cg_iters
              + t_balance * balances)
     result = {

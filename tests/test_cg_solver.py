@@ -19,11 +19,40 @@ from criteria3d_tpu.solver import water as W
 from tests.test_fast_f32 import build
 
 
+def test_tridiag_vertical_solve_against_dense():
+    """The line preconditioner's batched Thomas elimination solves the
+    vertical tridiagonal system exactly (checked against a dense solve
+    per column)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    L, R, C = 7, 3, 2
+    cu = np.zeros((L, R, C))
+    cd = np.zeros((L, R, C))
+    cu[1:] = rng.uniform(0, 0.45, (L - 1, R, C))
+    cd[:-1] = rng.uniform(0, 0.45, (L - 1, R, C))
+    rhs = rng.normal(size=(L, R, C))
+    z = np.asarray(W.tridiag_vertical_solve(jnp.asarray(cu),
+                                            jnp.asarray(cd),
+                                            jnp.asarray(rhs)))
+    for r in range(R):
+        for c in range(C):
+            T = np.eye(L)
+            for l in range(1, L):
+                T[l, l - 1] = -cu[l, r, c]
+            for l in range(L - 1):
+                T[l, l + 1] = -cd[l, r, c]
+            np.testing.assert_allclose(T @ z[:, r, c], rhs[:, r, c],
+                                       atol=1e-12)
+
+
+@pytest.mark.parametrize("precond", ["diag", "line"])
 @pytest.mark.parametrize("fast", [False, True], ids=["f64", "fast_f32"])
-def test_cg_matches_jacobi_on_locked_trajectory(fast):
+def test_cg_matches_jacobi_on_locked_trajectory(fast, precond):
     mk = SolverParameters.fast_f32 if fast else SolverParameters
     pj = mk(delta_t_min=60.0, delta_t_max=60.0)
-    pc = mk(delta_t_min=60.0, delta_t_max=60.0, inner_solver="cg")
+    pc = mk(delta_t_min=60.0, delta_t_max=60.0, inner_solver="cg",
+            cg_precond=precond)
 
     gj, sj = build(pj)
     gc, sc = build(pc)
