@@ -29,9 +29,11 @@
 #include <vector>
 
 #include "soilFluxes3D.h"
+#include "cpusolver.h"
 
 namespace soilFluxes3D { inline namespace v2 {
     extern nodesData_t nodeGrid;   // internal state, read for DT diagnostics
+    extern Solver* solver;         // for matrix-row diagnostics (debugDt)
 }}
 
 using namespace soilFluxes3D::v2;
@@ -277,6 +279,29 @@ int main(int argc, char** argv) {
                 for (unsigned i = 0; i < n; ++i)
                     std::fprintf(stderr, "S %u %.17g\n", i,
                                  getNodeTotalPotential(i));
+                for (unsigned i = 0; i < n; ++i)
+                    std::fprintf(stderr, "SE %u %.17g %.17g\n", i,
+                                 getNodeDegreeOfSaturation(i),
+                                 getNodeWaterConductivity(i));
+                for (unsigned i = 0; i < n; ++i)
+                    std::fprintf(stderr, "WF %u %.17g %.17g\n", i,
+                                 nodeGrid.waterData.waterFlow[i],
+                                 nodeGrid.waterData.invariantFluxes[i]);
+                // preconditioned stencil rows of the LAST assembled system
+                // (vertical links only; getMatrixElementValue returns
+                // -a_ij/diag_i after preconditioning)
+                if (auto* cpu = dynamic_cast<CPUSolver*>(solver))
+                    for (unsigned i = 0; i < n; ++i) {
+                        auto up = nodeGrid.linkData[0].linkType[i] !=
+                                  linkType_t::NoLink
+                            ? nodeGrid.linkData[0].linkIndex[i] : i;
+                        auto dn = nodeGrid.linkData[1].linkType[i] !=
+                                  linkType_t::NoLink
+                            ? nodeGrid.linkData[1].linkIndex[i] : i;
+                        std::fprintf(stderr, "MX %u %.17g %.17g\n", i,
+                            up != i ? cpu->getMatrixElementValue(i, up) : 0.0,
+                            dn != i ? cpu->getMatrixElementValue(i, dn) : 0.0);
+                    }
                 if (withHeat)
                     for (unsigned i = nSurf; i < n; ++i)
                         std::fprintf(stderr, "ST %u %.17g\n", i,

@@ -119,3 +119,36 @@ def test_compute_mean():
     assert float(compute_mean(a, a, MeanType.LOGARITHMIC)) == pytest.approx(1e-7)
     assert float(compute_mean(a, b, MeanType.ARITHMETIC)) == pytest.approx(5.05e-6)
     assert float(compute_mean(a, b, MeanType.GEOMETRIC)) == pytest.approx(1e-6)
+
+
+def test_log_mean_near_equal_conditioning():
+    """The log-mean must stay exact for conductivities differing by a few
+    ulp — the generic state of a quiescent uniform region. The reference's
+    naive `(k1-k2)/log(k1/k2)` (otherFunctions.cpp:33-36, guarded only by
+    exact equality) suffers catastrophic cancellation there: measured
+    -17.9% / +9.5% error and row asymmetry on a real 3-ulp pair, producing
+    spurious head jumps in static dry columns (upstream bug, DEVIATIONS
+    #23). Our log1p form is uniformly accurate for ALL ratios."""
+    import numpy as np
+
+    k = 2.1264732321154394e-10
+    for n_ulp in (1, 2, 3, 7):
+        k2 = k
+        for _ in range(n_ulp):
+            k2 = np.nextafter(k2, 0.0)
+        # ours: exact to ~1 ulp (for d ~ 1e-16 the log-mean equals the
+        # arithmetic mean to O(d^2))
+        ours = float(compute_mean(jnp.float64(k), jnp.float64(k2),
+                                  MeanType.LOGARITHMIC))
+        true = 0.5 * (k + k2)
+        assert abs(ours - true) / true < 1e-13, (n_ulp, ours, true)
+        # the reference's naive form is off by >5% for at least one of
+        # these pairs (the blow-up depends on how the ratio rounds)
+    naive_errs = []
+    for n_ulp in (1, 2, 3, 7):
+        k2 = k
+        for _ in range(n_ulp):
+            k2 = np.nextafter(k2, 0.0)
+        naive = (k - k2) / np.log(k / k2)
+        naive_errs.append(abs(naive - 0.5 * (k + k2)) / (0.5 * (k + k2)))
+    assert max(naive_errs) > 0.05, naive_errs
