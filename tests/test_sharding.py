@@ -91,6 +91,17 @@ def test_sharded_fast_f32_matches_single_device():
                                np.asarray(ref_state.h), rtol=0, atol=1e-5)
     assert float(out_dt) == pytest.approx(float(ref_dt))
 
+    # line-preconditioned CG: the vertical Thomas solve runs along the
+    # UNSHARDED layer axis (collective-free per chip under GSPMD) and must
+    # also match its own single-device trajectory
+    params_l = SolverParameters.fast_f32(cg_precond="line")
+    ref_l, ref_dt_l = compute_step(grid, params_l, state, 3600.0)
+    out_l, out_dt_l = compute_step(shard_pytree(grid, mesh), params_l,
+                                   shard_pytree(state, mesh), 3600.0)
+    np.testing.assert_allclose(np.asarray(out_l.h), np.asarray(ref_l.h),
+                               rtol=0, atol=1e-5)
+    assert float(out_dt_l) == pytest.approx(float(ref_dt_l))
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_padded_uneven_domain():
