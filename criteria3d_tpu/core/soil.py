@@ -68,6 +68,13 @@ class SoilFields:
     theta_r: jax.Array
     k_sat: jax.Array
     mualem_l: jax.Array   # tortuosity
+    # Precomputed Mualem denominator 1 - [1 - Sc^(1/m)]^m (the modified-VG
+    # normalisation, a pure soil-parameter function): evaluating it per
+    # retention pass costs two loop-invariant pow chains per node per
+    # Picard iteration on the hot path. Computed ONCE at construction with
+    # the same jnp expression mualem_conductivity used, so the value is
+    # bitwise identical to the former per-call evaluation.
+    mualem_den: jax.Array
 
     @staticmethod
     def uniform(shape, *, vg_alpha, vg_n, vg_he=0.0, theta_s, theta_r, k_sat,
@@ -81,11 +88,14 @@ class SoilFields:
         m = 1.0 - 1.0 / vg_n
         sc = (1.0 + (vg_alpha * vg_he) ** vg_n) ** (-m)
         full = lambda v: jnp.full(shape, v, dtype=dtype)
+        m_arr, sc_arr = full(m), full(sc)
+        den = 1.0 - (1.0 - sc_arr ** (1.0 / m_arr)) ** m_arr
         return SoilFields(
-            vg_alpha=full(vg_alpha), vg_n=full(vg_n), vg_m=full(m),
-            vg_he=full(vg_he), vg_sc=full(sc),
+            vg_alpha=full(vg_alpha), vg_n=full(vg_n), vg_m=m_arr,
+            vg_he=full(vg_he), vg_sc=sc_arr,
             theta_s=full(theta_s), theta_r=full(theta_r),
             k_sat=full(k_sat), mualem_l=full(mualem_l),
+            mualem_den=den,
         )
 
 
@@ -143,8 +153,7 @@ def mualem_conductivity(soil: SoilFields, se: jax.Array, model: WRCModel) -> jax
     else:
         sesc = jnp.minimum(se_c * soil.vg_sc, 1.0)
         num = 1.0 - (1.0 - sesc ** inv_m) ** soil.vg_m
-        den = 1.0 - (1.0 - soil.vg_sc ** inv_m) ** soil.vg_m
-        temp = num / den
+        temp = num / soil.mualem_den
     k = soil.k_sat * se_c ** soil.mualem_l * temp * temp
     return jnp.where(se >= 1.0, soil.k_sat, k)
 

@@ -261,15 +261,18 @@ class Criteria3DProject:
         m = 1.0 - 1.0 / fields["vg_n"]
         sc = (1.0 + (fields["vg_alpha"] * fields["vg_he"])
               ** fields["vg_n"]) ** (-m)
+        m_arr = jnp.asarray(m, dtype)
+        sc_arr = jnp.asarray(sc, dtype)
         soil = SoilFields(
             vg_alpha=jnp.asarray(fields["vg_alpha"], dtype),
             vg_n=jnp.asarray(fields["vg_n"], dtype),
-            vg_m=jnp.asarray(m, dtype), vg_he=jnp.asarray(fields["vg_he"], dtype),
-            vg_sc=jnp.asarray(sc, dtype),
+            vg_m=m_arr, vg_he=jnp.asarray(fields["vg_he"], dtype),
+            vg_sc=sc_arr,
             theta_s=jnp.asarray(fields["theta_s"], dtype),
             theta_r=jnp.asarray(fields["theta_r"], dtype),
             k_sat=jnp.asarray(fields["k_sat"], dtype),
-            mualem_l=jnp.asarray(fields["mualem_l"], dtype))
+            mualem_l=jnp.asarray(fields["mualem_l"], dtype),
+            mualem_den=1.0 - (1.0 - sc_arr ** (1.0 / m_arr)) ** m_arr)
 
         # --- land units -> roughness / pond / Urban / Road
         roughness = np.full((R, C), 0.05)

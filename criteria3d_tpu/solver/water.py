@@ -462,20 +462,37 @@ def assemble_fast(grid: Grid, params: SolverParameters,
     vol32 = grid.volume.astype(sd)
     area32 = jnp.asarray(grid.area, sd)
 
-    # --- capacity + conductivity (compute_capacity fast branch) ---------
-    k = mualem_conductivity(soil32, se, params.wrc_model)
-    k = jnp.where(mask, k, 0.0).at[0].set(0.0)
-
+    # --- capacity + conductivity: ONE fused retention chain -------------
+    # The VG power x^n and the retention base (1+x^n)^(-m) are shared by
+    # the conductivity and the analytic capacity through exact algebraic
+    # identities — Se^(1/m) = 1/(1+x^n) and (1+x^n)^(-m-1) = base/(1+x^n),
+    # x^(n-1) = x^n/x — and the Mualem denominator is the precomputed
+    # soil field, cutting the per-iteration transcendental count roughly
+    # in half (the hot path is VPU-transcendental-bound, BASELINE.md).
     psi_c = jnp.abs(jnp.minimum(psi, 0.0))
     psi_p = jnp.abs(jnp.minimum(psi_old, 0.0))
+    n = soil32.vg_n
+    m = soil32.vg_m
+    x = soil32.vg_alpha * jnp.maximum(psi_c, 1e-20)
+    xn = x ** n
+    one = 1.0 + xn
+    base = one ** (-m)                      # unscaled retention (1+x^n)^-m
+
+    se_c = jnp.clip(se, 1e-12, 1.0)
+    frac = xn / one                          # = 1 - Se_unscaled^(1/m)
+    num = 1.0 - frac ** m
     if params.wrc_model.name == "VAN_GENUCHTEN":
         saturated = (psi_c == 0.0) & (psi_p == 0.0)
+        temp = num
     else:
         saturated = (psi_c <= soil32.vg_he) & (psi_p <= soil32.vg_he)
-    n = soil32.vg_n
-    x = soil32.vg_alpha * jnp.maximum(psi_c, 1e-20)
-    term = (1.0 + x ** n) ** (-(soil32.vg_m + 1.0)) * x ** (n - 1.0)
-    dse_a = soil32.vg_alpha * n * soil32.vg_m * term / soil32.vg_sc
+        temp = num / soil32.mualem_den
+    k = soil32.k_sat * se_c ** soil32.mualem_l * temp * temp
+    k = jnp.where(se >= 1.0, soil32.k_sat, k)
+    k = jnp.where(mask, k, 0.0).at[0].set(0.0)
+
+    term = (base / one) * (xn / x)           # (1+x^n)^-(m+1) * x^(n-1)
+    dse_a = soil32.vg_alpha * n * m * term / soil32.vg_sc
     # se at the current iterate was already computed by compute_se from the
     # same h and retention model — reuse it instead of re-evaluating the
     # retention curve (one full-field VG pass per Picard iteration)
