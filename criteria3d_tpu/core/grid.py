@@ -142,6 +142,25 @@ class Grid:
             has_culvert=True,
         )
 
+    def set_prescribed(self, layer: int, row: int, col: int,
+                       total_potential: float) -> "Grid":
+        """Mark node (layer, row, col) as a prescribed-total-potential
+        boundary (soilFluxes3D.cpp setPrescribedTotalPotential analogue).
+
+        Flips ``has_prescribed`` alongside ``btype`` so the trace-time gate
+        that elides the prescribed-boundary conductance math stays
+        consistent — setting btype via ``dataclasses.replace`` alone would
+        silently zero the boundary rate.
+        """
+        return dataclasses.replace(
+            self,
+            btype=self.btype.at[layer, row, col].set(
+                BoundaryType.PRESCRIBED_TOTAL_POTENTIAL),
+            prescribed_h=self.prescribed_h.at[layer, row, col].set(
+                total_potential),
+            has_prescribed=True,
+        )
+
     # ------------------------------------------------------------------
     @staticmethod
     def build(dem: np.ndarray,

@@ -439,7 +439,8 @@ def aggregate_raster_to_grid(values: np.ndarray, header,
 
 
 def stations_from_grid(db: MeteoGridDb, cells: list | None = None,
-                       var_map: dict | None = None) -> list:
+                       var_map: dict | None = None,
+                       utm_zone: int | None = None) -> list:
     """Active grid cells as virtual meteo stations with their hourly series.
 
     The reference models grid cells AS Crit3DMeteoPoint objects
@@ -467,9 +468,27 @@ def stations_from_grid(db: MeteoGridDb, cells: list | None = None,
         if not c.active:
             continue
         x, y = cell_center(db.structure, c.row, c.col)
+        if db.structure.is_utm:
+            utm_x, utm_y = x, y
+            lat, lon = y, x  # geographic coords unknown without a zone
+            if utm_zone is not None:
+                from criteria3d_tpu.core.geo import utm_to_latlon
+                lat, lon = utm_to_latlon(utm_zone, 45.0, x, y)
+                lat, lon = float(lat), float(lon)
+        else:
+            # lat-lon grid: station distances/weights must be metric, so
+            # project the cell centre to UTM (the degree/metre mix the
+            # round-3 advisor flagged). Zone from the project, else derived
+            # from longitude.
+            from criteria3d_tpu.core.geo import latlon_to_utm
+            lat, lon = y, x
+            zone = utm_zone if utm_zone is not None \
+                else int((lon + 180.0) // 6.0) + 1
+            e, n, _ = latlon_to_utm(lat, lon, zone)
+            utm_x, utm_y = float(e), float(n)
         st = MeteoStation(
             id=c.code, name=c.name or c.code,
-            latitude=y, longitude=x, utm_x=x, utm_y=y,
+            latitude=lat, longitude=lon, utm_x=utm_x, utm_y=utm_y,
             altitude=0.0 if c.height == NODATA else float(c.height))
         for code, var in var_map.items():
             times, vals = db.read_hourly(c.code, code)

@@ -41,7 +41,13 @@ def transform_points(x, y, src, dst):
     src, dst = _check_crs(src), _check_crs(dst)
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
-    if src[0] == dst[0] and tuple(src[1:2]) == tuple(dst[1:2]):
+    def _normalized(crs):
+        # identity requires matching hemisphere ref-lat too (defaulted 45.0)
+        if crs[0] == "utm":
+            return ("utm", crs[1], crs[2] if len(crs) > 2 else 45.0)
+        return ("latlon",)
+
+    if _normalized(src) == _normalized(dst):
         return x, y
 
     # to geographic
@@ -54,6 +60,13 @@ def transform_points(x, y, src, dst):
     if dst[0] == "latlon":
         return lon, lat
     e, n, _ = latlon_to_utm(lat, lon, dst[1])
+    # latlon_to_utm applies the 10 Mm false northing whenever lat < 0, the
+    # south-referenced encoding. A north-referenced destination CRS
+    # (ref_lat >= 0) must instead carry southern points as negative
+    # northings so utm_to_latlon(ref_lat>=0) round-trips them.
+    dst_ref = dst[2] if len(dst) > 2 else 45.0
+    if dst_ref >= 0:
+        n = np.where(np.asarray(lat) < 0, np.asarray(n) - 10000000.0, n)
     return np.asarray(e), np.asarray(n)
 
 

@@ -389,7 +389,8 @@ class Criteria3DProject:
         self.meteo_grid_cells = self.meteo_grid.load_cell_properties()
         if as_forcing:
             self.stations = stations_from_grid(
-                self.meteo_grid, self.meteo_grid_cells, var_map=var_map)
+                self.meteo_grid, self.meteo_grid_cells, var_map=var_map,
+                utm_zone=self.config.utm_zone)
             if not self.stations:
                 self.warnings.append("meteo grid has no active cells")
 

@@ -177,7 +177,7 @@ def jacobi_bundle(b, c_up, c_down, c_lat, mask_f, x,
         kernel,
         interpret=interpret,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=[
             # index_map components must share the program-id dtype (int32);
             # Python ints would promote to i64 under x64 mode and fail Mosaic

@@ -450,7 +450,9 @@ class Vine3DModel:
             relative_humidity=self._rh_sum / n,
             is_bud_break=bud_break)
 
-        out = dict(tavg=tavg, tavg_mean=float(jnp.mean(tavg)),
+        from criteria3d_tpu.model import masked_mean
+        out = dict(tavg=tavg,
+                   tavg_mean=masked_mean(tavg, self.grid.mask[0]),
                    stage=self.vine.stage,
                    lai=self.vine.lai,
                    fruit_biomass=self.vine.fruit_biomass,
