@@ -20,6 +20,10 @@ Commands (case-insensitive; shared + CRITERIA3D sets):
                                  else uniform synthetic forcing
     DAILYCSV <point_id> <out.csv>    export a station's daily series
     HOURLYCSV <point_id> <out.csv>   export a station's hourly series
+    EXPORTPNG <var> <out.png> [scale]
+                                 color-scale quick-look PNG of a raster
+                                 (dem | swc | pond; reference color.cpp
+                                 scales, headless GUI substitute)
     STATE SAVE <dir> | STATE LOAD <dir>
     INFO                         grid/state summary
     LS                           list project .ini files under cwd
@@ -96,6 +100,8 @@ class Shell:
                 self._cmd_run(args)
             elif cmd in ("DAILYCSV", "HOURLYCSV"):
                 self._cmd_export_csv(cmd, args)
+            elif cmd == "EXPORTPNG":
+                self._cmd_export_png(args)
             elif cmd == "STATE":
                 self._cmd_state(args)
             elif cmd == "INFO":
@@ -298,6 +304,48 @@ class Shell:
                     row.append("" if val == NODATA else f"{val:g}")
                 w.writerow(row)
         self._print(f"wrote {n} rows to {path}")
+
+    def _cmd_export_png(self, args):
+        """Headless color-scale quick-look of a raster variable
+        (EXPORTPNG <variable> <out.png> [scale] — the GUI-less analogue of
+        the reference's map canvas; agrolib/gis/color.cpp scales)."""
+        from criteria3d_tpu.io.quicklook import COLOR_SCALES, write_png_raster
+        if len(args) < 2:
+            self._print("Usage: EXPORTPNG <dem|swc|pond|wt> <out.png> "
+                        f"[scale: {'|'.join(sorted(COLOR_SCALES))}]")
+            return
+        var, path = args[0].lower(), args[1]
+        scale = args[2] if len(args) > 2 else None
+        data = None
+        if var == "dem" and self.dem is not None:
+            data, scale = self.dem, scale or "dtm"
+        elif self.model is not None:
+            from criteria3d_tpu.solver import water as W
+            g = self.grid
+            if var in ("swc", "water_content"):
+                se = W.compute_se(g, self.params, self.model.water.h)
+                from criteria3d_tpu.core.soil import theta_from_se
+                theta = theta_from_se(g.soil, se)
+                # root-zone mean over subsurface layers
+                m = np.asarray(g.mask[1:], bool)
+                th = np.asarray(theta[1:])
+                data = np.where(m.any(0), (th * m).sum(0)
+                                / np.maximum(m.sum(0), 1), NODATA)
+                scale = scale or "surface_water"
+            elif var in ("pond", "surface_water"):
+                data = np.where(np.asarray(g.mask[0]),
+                                np.asarray(
+                                    self.model.water.surface_water_level(g))
+                                * 1000.0, NODATA)
+                scale = scale or "surface_water"
+        if data is None:
+            self._print(f"nothing to render for '{var}' "
+                        "(load a DEM / initialize a model first)")
+            return
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        rng = write_png_raster(path, data, scale or "default")
+        self._print(f"wrote {path} [{rng['vmin']:.3g}..{rng['vmax']:.3g}]"
+                    f" scale={scale}")
 
     def _cmd_state(self, args):
         from criteria3d_tpu.io.state_io import load_state, save_state

@@ -33,9 +33,9 @@ DEFAULT_BULK_DENSITY = 1350.0       # [kg m-3]
 SOIL_DAMPING_DEPTH = 0.3            # [m]
 SNOW_MINIMUM_HEIGHT = 1.0           # [mm]
 WATER_DENSITY = 1000.0
-HEAT_CAPACITY_AIR = 1290.0          # [J m-3 K-1]
-HEAT_CAPACITY_WATER = 4186.0        # [J kg-1 K-1] (snow model uses per-kg form)
-HEAT_CAPACITY_SNOW = 2100.0
+HEAT_CAPACITY_AIR = 1290.0          # [J m-3 K-1] commonConstants.h:220
+HEAT_CAPACITY_WATER = 4182000.0     # [J m-3 K-1] commonConstants.h:219
+HEAT_CAPACITY_SNOW = 2100000.0      # [J m-3 K-1] commonConstants.h:221
 STEFAN_BOLTZMANN = 5.670373e-8
 
 
@@ -50,6 +50,12 @@ class SnowParameters:
     temp_max_with_snow: float = 2.0         # [degC]
     temp_min_with_rain: float = -0.5        # [degC]
     snow_surface_damping_depth: float = 0.05  # [m]
+    # reproduce snow.cpp:482, where the unqualified `snowWaterEquivalent`
+    # accidentally resolves to the meteoVariable ENUM (= 56) instead of
+    # the SWE member, making the surface-energy snow ratio a constant
+    # min(0.056, skin)/damping = 0.4 (upstream defect, DEVIATIONS #25).
+    # False restores the intended SWE-dependent thin-pack scaling.
+    compat_enum_snow_ratio: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -265,8 +271,14 @@ def snow_step(state: SnowState, forcing: SnowForcing,
     swe = ice + liquid
 
     # --- surface energy & temperature (snow.cpp:472-497) ---
-    snow_ratio = jnp.minimum(swe * 0.001, p.skin_thickness) \
-        / p.snow_surface_damping_depth
+    if p.compat_enum_snow_ratio:
+        # snow.cpp:482 upstream defect: `snowWaterEquivalent` is the
+        # meteoVariable enum (56), not the member — constant ratio
+        snow_ratio = min(56.0 * 0.001, p.skin_thickness) \
+            / p.snow_surface_damping_depth
+    else:
+        snow_ratio = jnp.minimum(swe * 0.001, p.skin_thickness) \
+            / p.snow_surface_damping_depth
     se_snow = jnp.where((swe > 0) & (jnp.abs(internal_energy) < EPSILON),
                         0.0,
                         jnp.minimum(0.0, se0 + (q_total + q_r) * snow_ratio))

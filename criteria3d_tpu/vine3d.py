@@ -39,7 +39,6 @@ from criteria3d_tpu.core.state import SolverParameters, WaterState
 from criteria3d_tpu.model import HourlyForcing, ModelConfig
 from criteria3d_tpu.physics import crop as crop_mod
 from criteria3d_tpu.physics import grapevine as gv
-from criteria3d_tpu.physics import hydrall as hy
 from criteria3d_tpu.physics import meteo as meteo_mod
 from criteria3d_tpu.physics import radiation as rad_mod
 from criteria3d_tpu.physics.downy_mildew import (DownyMildewInput,
@@ -225,63 +224,62 @@ class Vine3DModel:
         return irr
 
     # ------------------------------------------------------------------
-    def _grapevine_fluxes(self, forcing: HourlyForcing, rad) -> dict:
-        """Whole-map photosynthesis + stomatal transpiration on the sun/shade
-        big leaf (photosynthesisAndTranspiration, grapevine.cpp:385-396)."""
+    def _grapevine_fluxes(self, forcing: HourlyForcing, rad, saw_profile,
+                          year: int, doy: int) -> dict:
+        """Whole-map photosynthesis + stomatal transpiration through the
+        VINE-SPECIFIC sun/shade stack (photosynthesisAndTranspiration,
+        grapevine.cpp:385-396), not the hydrall forest kernel: the
+        simplified Pa-unit fixed-point kernel is re-solved per root layer
+        with STOMWL = alpha x sawStress[layer] and root-density weighted
+        (carbonWaterFluxesProfile, grapevine.cpp:953-993; parity vs the
+        compiled reference in tests/test_grapevine_parity.py)."""
+        from criteria3d_tpu.physics import vine_photosynthesis as vp
+
         cfg = self.config
         dem2d = self.grid.z[0]
         lai = jnp.where(self.harvested, self.vine_params.lai_min,
                         self.vine.lai)
-
         t_air = jnp.asarray(forcing.air_temperature, jnp.float64)
-        rh = jnp.clip(jnp.asarray(forcing.rel_humidity, jnp.float64), 1., 100.)
+        rh = jnp.clip(jnp.asarray(forcing.rel_humidity, jnp.float64),
+                      1.0, 100.0)
         pressure = meteo_mod.pressure_from_altitude(dem2d)            # [Pa]
-        es = meteo_mod.saturation_vapor_pressure(t_air)               # [Pa]
-        vpd = jnp.maximum(es * (1.0 - rh / 100.0), 0.0)               # [Pa]
-        slope_sat = meteo_mod.saturation_slope(
-            t_air, es / 1000.0) * 1000.0                              # [Pa/K]
-        psychro = meteo_mod.psychrometric_constant(
-            pressure / 1000.0, t_air) * 1000.0                        # [Pa/K]
-        co2_pa = 40.0e-5 * pressure                                   # ~400 ppm
+        # cloudIndex from the transmissivity ratio (the reference derives
+        # it from observed/potential radiation, vine3DProject meteoMaps)
+        cloud = jnp.clip(1.0 - jnp.asarray(forcing.transmissivity,
+                                           jnp.float64)
+                         / cfg.clear_sky_transmissivity, 0.0, 1.0)
 
-        sin_el = jnp.maximum(
-            jnp.sin(rad.sun["elevation_refr"] * jnp.pi / 180.0), 0.0)
-        # incoming longwave from the Brutsaert clear-sky emissivity
-        from criteria3d_tpu.constants import STEFAN_BOLTZMANN
-        ea = es * rh / 100.0                                          # [Pa]
-        eps_atm = meteo_mod.atmospheric_emissivity_brutsaert(
-            ea, t_air + ZEROCELSIUS)
-        longwave = eps_atm * STEFAN_BOLTZMANN * (t_air + ZEROCELSIUS) ** 4
-        absorbed = hy.big_leaf_radiation(lai, sin_el, rad.beam, rad.diffuse,
-                                         t_air, longwave)
+        out = vp.vine_canopy_fluxes(
+            lai=lai, sun_elevation_deg=rad.sun["elevation_refr"],
+            direct_irr=rad.beam, diffuse_irr=rad.diffuse,
+            cloudiness=cloud, t_air_c=t_air, rh_pct=rh,
+            wind_speed=jnp.asarray(forcing.wind_speed, jnp.float64),
+            pressure_pa=pressure, mean_month_t_c=self._t30_avg,
+            stress_profile=saw_profile,
+            root_density=self.vine_root_density[:, None, None],
+            year=year, doy=doy,
+            params=vp.WangLeuningParameters(
+                water_stress_threshold=self.water_stress_threshold),
+            stage=self.vine.stage)
 
-        t_sun, t_shade = hy.leaf_temperature(
-            t_air, rad.beam, rad.diffuse, vpd, psychro, sin_el)
-
-        assim = jnp.zeros_like(lai)
-        transp = jnp.zeros_like(lai)
-        stress = jnp.maximum(1.0 - self.stress, 0.05)
-        for sunlit, t_leaf in ((True, t_sun), (False, t_shade)):
-            par = absorbed["par_sunlit" if sunlit else "par_shaded"]
-            # Kattge-Knorr acclimation wants the last-30-day mean air
-            # temperature in degC (hydrall.cpp upscale), not the instant
-            # hourly Kelvin value — use the running mean accumulator.
-            fp = hy.farquhar_parameters(
-                t_leaf, par, lai, absorbed["kb"], absorbed["kd_par"],
-                pressure, self._t30_avg, sunlit=sunlit)
-            a, _, tr = hy.photosynthesis_kernel(
-                fp, co2_pa=co2_pa, vpd_pa=vpd, pressure_pa=pressure,
-                air_temp_c=t_air,
-                rni=absorbed["rni_sunlit" if sunlit else "rni_shaded"],
-                slope_sat_vp=slope_sat, psychro_pa=psychro, stress=stress)
-            assim = assim + a
-            transp = transp + tr
-
-        # mol CO2 m-2 s-1 -> g biomass m-2 h-1 (12 g C/mol / 0.45 gC/g dm)
-        assim_g = jnp.maximum(assim, 0.0) * 3600.0 * 12.0 / 0.45
-        # mol H2O m-2 s-1 -> mm h-1
-        transp_mm = jnp.maximum(transp, 0.0) * 3600.0 * 18.0e-3
-        return dict(assimilation_g=assim_g, transpiration_mm=transp_mm,
+        respiration = vp.plant_respiration(
+            cumulated_biomass=self.vine.cumulated_biomass / 1000.0,  # [kg]
+            fruit_biomass=self.vine.fruit_biomass / 1000.0,
+            days_after_bloom=self.vine.days_after_bloom,
+            t_air_c=t_air, mean_month_t_c=self._t30_avg,
+            psi_soil_avg=-100.0, psi_fc_avg=-33.0, wilting_point=-1500.0)
+        # net assimilation, mol CO2 m-2 h-1 -> g DM m-2 h-1
+        # (cumulatedResults, grapevine.cpp:1057-1078: x12 g/mol, /CARBONFACTOR)
+        assim_g = ((out["assimilation"] - respiration) * 3600.0
+                   * 12.0 / vp.CARBON_FACTOR)
+        # per-layer transpiration mol m-2 s-1 -> mm h-1: x3600 s, x0.018
+        # kg mol-1 gives kg m-2 == mm (cumulatedResults, grapevine.cpp:1073)
+        transp_layer_mm = (3600.0 * vp.H2O_MOLECULAR_WEIGHT
+                           * out["transpiration_layer"])
+        return dict(assimilation_g=assim_g,
+                    transpiration_layer_mm=transp_layer_mm,
+                    transpiration_mm=jnp.sum(transp_layer_mm, axis=0),
+                    stress_coefficient=out["stress_coefficient"],
                     lai=lai)
 
     # ------------------------------------------------------------------
@@ -337,21 +335,13 @@ class Vine3DModel:
         out["et0"] = et0
         out["leaf_wetness"] = leaf_wetness
 
-        # ---- grapevine photosynthesis / stomatal demand
-        fluxes = self._grapevine_fluxes(forcing, rad)
-        self._assim_gm2 = self._assim_gm2 + jnp.where(
-            valid, fluxes["assimilation_g"], 0.0)
-        out["vine_transpiration_demand"] = fluxes["transpiration_mm"]
-
-        # ---- layered root uptake: vine + inter-row grass
+        # ---- soil-moisture stress profile (initializeWaterStress,
+        # grapevine.cpp:182-187: saw-tooth on the fraction of transpirable
+        # soil water, computed BEFORE photosynthesis)
         from criteria3d_tpu.core.soil import theta_from_se
         from criteria3d_tpu.solver import water as W
         se = W.compute_se(grid, params, self.water.h)
         theta = jnp.where(grid.mask, theta_from_se(grid.soil, se), 0.0)
-
-        # --- per-layer root uptake (transpirationLayer, grapevine.cpp:
-        # 1040-1074): demand distributed by root density x saw-tooth layer
-        # stress on the fraction of transpirable soil water
         theta_sat, theta_fc, theta_wp, _ = crop_mod.water_content_thresholds(
             grid, params)
         ftsw = jnp.clip((theta - theta_wp)
@@ -359,13 +349,22 @@ class Vine3DModel:
         saw = gv.saw_stress(ftsw, self.water_stress_threshold)
         saw = jnp.where(grid.mask, saw, 0.0)
 
-        # vine: min(stomatal Farquhar demand, ET0-based potential) — the
-        # reference couples the grapevine transpiration into the sink
-        pot_vine = crop_mod.potential_transpiration(
-            et0, fluxes["lai"], self.vine_crop.kc_max)
-        demand_v = jnp.minimum(pot_vine, fluxes["transpiration_mm"])
-        sink_v, act_v = self._layer_uptake(
-            demand_v, self.vine_root_density, saw, theta, theta_wp)
+        # ---- grapevine photosynthesis / per-layer stomatal transpiration
+        doy = date.timetuple().tm_yday
+        fluxes = self._grapevine_fluxes(forcing, rad, saw, year, doy)
+        self._assim_gm2 = self._assim_gm2 + jnp.where(
+            valid, fluxes["assimilation_g"], 0.0)
+        out["vine_transpiration_demand"] = fluxes["transpiration_mm"]
+
+        # vine: the kernel's per-layer transpiration IS the extraction
+        # (modelCore.cpp:220-226 getExtractedWater -> waterSinkSource),
+        # capped at the extractable water per layer for robustness
+        thick = jnp.asarray(grid.layer_thickness)[:, None, None]
+        avail_mm = jnp.maximum(theta - theta_wp, 0.0) * thick * 1000.0
+        layer_v = jnp.minimum(fluxes["transpiration_layer_mm"], avail_mm)
+        layer_v = jnp.where(grid.mask, layer_v, 0.0).at[0].set(0.0)
+        sink_v = -grid.area * (layer_v / 1000.0) / HOUR_SECONDS
+        act_v = jnp.sum(layer_v, axis=0)
 
         # inter-row grass: shallow trapezoid roots, ET0-driven
         pot_grass = crop_mod.potential_transpiration(
@@ -373,12 +372,9 @@ class Vine3DModel:
             self.grass_crop.kc_max)
         sink_g, act_g = self._layer_uptake(
             pot_grass, self.grass_root_density, saw, theta, theta_wp)
-        # stress = 1 - actual/potential (getStressCoefficient,
-        # grapevine.cpp:1039-1052, on the water-limited uptake)
-        self.stress = jnp.where(
-            pot_vine > 1e-9,
-            jnp.clip(1.0 - act_v / jnp.maximum(pot_vine, 1e-9), 0.0, 1.0),
-            0.0)
+        # stomatal stress coefficient 1 - Gs/Gs_nostress
+        # (getStressCoefficient, grapevine.cpp:1043-1055)
+        self.stress = fluxes["stress_coefficient"]
         out["vine_stress"] = self.stress
         out["vine_transpiration"] = act_v
         out["grass_transpiration"] = act_g

@@ -26,3 +26,35 @@ def test_batch_dem_init_run_fast(tmp_path):
     assert "3D model initialized" in out.stdout
     assert "hour 1: MBR=" in out.stdout
     assert "total water content" in out.stdout
+
+
+def test_exportpng_quicklook(tmp_path):
+    """EXPORTPNG writes a valid PNG with the requested color scale."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from criteria3d_tpu.io.quicklook import classify_colors, write_png_raster
+
+    # the classify() interpolation reproduces the reference's scheme:
+    # 256 colors, first key at 0, last key pinned at the tail
+    lut = classify_colors("temperature")
+    assert lut.shape == (256, 3)
+    assert tuple(lut[0]) == (0, 0, 255)
+    assert tuple(lut[-1]) == (128, 0, 128)
+
+    data = np.linspace(0.0, 30.0, 64).reshape(8, 8)
+    data[0, 0] = -9999.0
+    out = tmp_path / "ql.png"
+    rng = write_png_raster(str(out), data, "temperature", nodata=-9999.0)
+    assert rng["vmax"] == 30.0
+    blob = out.read_bytes()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", blob[16:24])
+    assert w == 8 and h == 8 + 14          # map + legend bar
+    # decodable IDAT, nodata pixel transparent
+    idat_off = blob.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", blob[idat_off - 8:idat_off - 4])[0]
+    raw = zlib.decompress(blob[idat_off:idat_off + idat_len])
+    assert raw[1 + 3] == 0                 # first pixel alpha == 0 (nodata)
