@@ -27,13 +27,13 @@ __all__ = ["compute_step_coupled", "compute_period_coupled"]
 def compute_step_coupled(grid: Grid, params: SolverParameters,
                          water: WaterState, heat_state: H.HeatState,
                          boundary: H.HeatBoundary, max_time_step,
-                         max_substeps: int = 16):
+                         max_substeps: int = 256):
     """One adaptive water step followed by its heat sub-steps.
 
-    Returns (water', heat', dt_water). The heat sub-step loop runs on device
-    with a bounded iteration count (the reference's while loop halves dtHeat
-    on failure; 16 sub-steps cover dtWater down to dtWater/16 < dtMin for
-    any practical configuration).
+    Returns (water', heat', dt_water). The heat sub-step loops run on
+    device with safety caps far above any observed need; unlike the
+    round-3 version they always cover the full water step (see the chunk
+    structure below).
     """
     # temperature-gradient water fluxes (thermal liquid + vapor) enter the
     # water RHS while heat is active, re-evaluated at EVERY Picard
@@ -70,33 +70,57 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
     # HeatSurface layer-1 node boundary_rate IS exactly that rate
     evap_rate_frozen = boundary_rate[1] if params.heat_vapor else None
 
-    def cond(c):
-        heat_s, t_done, dt_heat, it = c
-        return jnp.logical_and(t_done < dt_water, it < max_substeps)
+    # --- heat sub-stepping, the reference's exact two-level structure ---
+    # OUTER loop over boundary chunks (computeStep, soilFluxes3D.cpp:
+    # 1805-1818): updateBoundaryHeatData evaluates the boundary heat flux
+    # + Courant limit ONCE per chunk, at chunk-start temperatures; the
+    # flux is FROZEN for every sub-step inside the chunk.
+    # INNER loop (CPUSolver::run Heat, cpusolver.cpp:77-91): halve freely
+    # on |heatMBR| > 1 (no dtMin floor on the halving) until accepted —
+    # heatLoop accepts-as-is once dtHeat <= 10*dtMin — and ALWAYS cover
+    # the full chunk.  (The round-3 version re-evaluated the boundary
+    # flux per sub-step and capped the total sub-step count, silently
+    # dropping unintegrated time in failure cascades — the actual root
+    # cause of the vapor-path parity gap, DEVIATIONS #22.)
+    def outer_cond(c):
+        heat_s, t_sum, dt_pref, it = c
+        return jnp.logical_and(t_sum < dt_water, it < max_substeps)
 
-    def body(c):
-        heat_s, t_done, dt_heat, it = c
-        dt_heat = jnp.minimum(dt_heat, dt_water - t_done)
-        # Courant limitation from the boundary flux
-        _, dt_limited, _ = H.update_boundary_heat(
-            grid, params, heat_s, boundary, water_new, dt_heat, dt_water,
+    def outer_body(c):
+        heat_s, t_sum, dt_pref, it = c
+        chunk_max = jnp.minimum(dt_pref, dt_water - t_sum)
+        flow, chunk, _ = H.update_boundary_heat(
+            grid, params, heat_s, boundary, water_new, chunk_max, dt_water,
             conductances=conduct, evap_rate=evap_rate_frozen)
-        new_heat, mbr = H.heat_step(grid, params, heat_s, boundary,
-                                    water_new, dt_limited, dt_water,
-                                    conductances=conduct,
-                                    evap_rate=evap_rate_frozen)
-        # the reference rejects only while dtHeat > 10*dtMin
-        # (cpusolver.cpp:585-596); below that the step is accepted as-is
-        ok = (jnp.abs(mbr) <= 1.0) | (dt_limited <= params.delta_t_min * 10.0)
-        # on failure heat_step already restored T; halve and retry
-        t_next = jnp.where(ok, t_done + dt_limited, t_done)
-        dt_next = jnp.where(ok, dt_limited, jnp.maximum(
-            dt_limited * 0.5, params.delta_t_min))
-        return (new_heat, t_next, dt_next, it + 1)
+
+        def inner_cond(ci):
+            h_s, t_in, dt_h, it_in = ci
+            return jnp.logical_and(t_in < chunk, it_in < 4096)
+
+        def inner_body(ci):
+            h_s, t_in, dt_h, it_in = ci
+            dt_try = jnp.minimum(dt_h, chunk - t_in)
+            new_heat, mbr = H.heat_step(grid, params, h_s, boundary,
+                                        water_new, dt_try, dt_water,
+                                        conductances=conduct,
+                                        evap_rate=evap_rate_frozen,
+                                        heat_flow=flow)
+            ok = (jnp.abs(mbr) <= 1.0) \
+                | (dt_try <= params.delta_t_min * 10.0)
+            t_next = jnp.where(ok, t_in + dt_try, t_in)
+            dt_next = jnp.where(ok, dt_h, dt_try * 0.5)
+            return (new_heat, t_next, dt_next, it_in + 1)
+
+        heat_s, _, _, _ = lax.while_loop(
+            inner_cond, inner_body,
+            (heat_s, jnp.zeros((), params.dtype), chunk,
+             jnp.zeros((), jnp.int32)))
+        return (heat_s, t_sum + chunk, chunk, it + 1)
 
     heat_final, _, _, _ = lax.while_loop(
-        cond, body, (heat_state, jnp.zeros((), params.dtype), dt_water,
-                     jnp.zeros((), jnp.int32)))
+        outer_cond, outer_body,
+        (heat_state, jnp.zeros((), params.dtype), dt_water,
+         jnp.zeros((), jnp.int32)))
     return water_new, heat_final, dt_water
 
 
@@ -104,7 +128,7 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
 def compute_period_coupled(grid: Grid, params: SolverParameters,
                            water: WaterState, heat_state: H.HeatState,
                            boundary: H.HeatBoundary, period,
-                           max_substeps: int = 16):
+                           max_substeps: int = 256):
     """Advance coupled water+heat over a whole period (computePeriod with
     computeHeat active, soilFluxes3D.cpp:1760-1821), closing the period
     water balance exactly as :func:`criteria3d_tpu.solver.step.compute_period`

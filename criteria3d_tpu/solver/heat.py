@@ -830,17 +830,25 @@ def _conduction_coeffs(grid: Grid, params: SolverParameters, heat: HeatState,
 def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
               boundary: HeatBoundary, water: WaterState,
               dt_heat, dt_water,
-              conductances=None, evap_rate=None) -> tuple[HeatState, jax.Array]:
+              conductances=None, evap_rate=None,
+              heat_flow=None) -> tuple[HeatState, jax.Array]:
     """One heat sub-step of length dt_heat inside a water step of dt_water.
 
     Mirrors CPUSolver::heatLoop (cpusolver.cpp:471-605). Returns
     (new_state, mbr). The caller is responsible for sub-step sequencing.
-    """
+
+    ``heat_flow``: the per-node boundary heat flow [W].  The reference
+    evaluates updateBoundaryHeatData ONCE per outer heat chunk
+    (computeStep, soilFluxes3D.cpp:1805-1814) and every heatLoop sub-step
+    inside the chunk reuses that frozen flux — pass the chunk's flow here
+    (compute_step_coupled does).  When omitted it is recomputed from the
+    current temperatures (legacy single-substep callers)."""
     wf = params.heat_weight_factor
-    heat_flow, _, _ = update_boundary_heat(grid, params, heat, boundary,
-                                           water, dt_heat, dt_water,
-                                           conductances=conductances,
-                                           evap_rate=evap_rate)
+    if heat_flow is None:
+        heat_flow, _, _ = update_boundary_heat(grid, params, heat, boundary,
+                                               water, dt_heat, dt_water,
+                                               conductances=conductances,
+                                               evap_rate=evap_rate)
 
     node_h = _node_h_from_timesteps(water, dt_heat, dt_water)
     avg_h = 0.5 * (water.h_old + node_h) - grid.z
