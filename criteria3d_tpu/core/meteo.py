@@ -37,24 +37,91 @@ class MeteoVariable(enum.Enum):
     AIR_REL_HUMIDITY = "airRelHumidity"
     AIR_DEW_TEMPERATURE = "airDewTemperature"
     GLOBAL_IRRADIANCE = "globalIrradiance"
+    NET_IRRADIANCE = "netIrradiance"
+    DIRECT_IRRADIANCE = "directIrradiance"
+    DIFFUSE_IRRADIANCE = "diffuseIrradiance"
+    REFLECTED_IRRADIANCE = "reflectedIrradiance"
     ATM_TRANSMISSIVITY = "atmTransmissivity"
+    ATM_PRESSURE = "atmPressure"
     WIND_SCALAR_INTENSITY = "windScalarIntensity"
+    WIND_VECTOR_INTENSITY = "windVectorIntensity"
     WIND_VECTOR_DIRECTION = "windVectorDirection"
+    WIND_VECTOR_X = "windVectorX"
+    WIND_VECTOR_Y = "windVectorY"
     LEAF_WETNESS = "leafWetness"
     REFERENCE_ET = "referenceEvapotranspiration"
+    ACTUAL_EVAPORATION = "actualEvaporation"
+    THOM = "thom"
     # daily
     DAILY_TMIN = "dailyAirTemperatureMin"
     DAILY_TMAX = "dailyAirTemperatureMax"
     DAILY_TAVG = "dailyAirTemperatureAvg"
+    DAILY_TRANGE = "dailyAirTemperatureRange"
     DAILY_PREC = "dailyPrecipitation"
     DAILY_RHMIN = "dailyAirRelHumidityMin"
     DAILY_RHMAX = "dailyAirRelHumidityMax"
     DAILY_RHAVG = "dailyAirRelHumidityAvg"
     DAILY_RAD = "dailyGlobalRadiation"
+    DAILY_DIRECT_RAD = "dailyDirectRadiation"
+    DAILY_DIFFUSE_RAD = "dailyDiffuseRadiation"
+    DAILY_REFLECTED_RAD = "dailyReflectedRadiation"
     DAILY_WIND_SCALAR_AVG = "dailyWindScalarIntensityAvg"
+    DAILY_WIND_SCALAR_MAX = "dailyWindScalarIntensityMax"
+    DAILY_WIND_VECTOR_AVG = "dailyWindVectorIntensityAvg"
+    DAILY_WIND_VECTOR_MAX = "dailyWindVectorIntensityMax"
+    DAILY_WIND_VECTOR_DIR_PREVAILING = "dailyWindVectorDirectionPrevailing"
+    DAILY_LEAF_WETNESS = "dailyLeafWetness"
     DAILY_ET0_HS = "dailyReferenceEvapotranspirationHS"
     DAILY_ET0_PM = "dailyReferenceEvapotranspirationPM"
+    DAILY_BIC = "dailyBIC"
+    DAILY_HEATING_DD = "dailyHeatingDegreeDays"
+    DAILY_COOLING_DD = "dailyCoolingDegreeDays"
+    DAILY_THOM_MAX = "dailyThomMax"
+    DAILY_THOM_AVG = "dailyThomAvg"
+    DAILY_THOM_HOURS_ABOVE = "dailyThomHoursAbove"
+    DAILY_THOM_DAYTIME = "dailyThomDaytime"
+    DAILY_THOM_NIGHTTIME = "dailyThomNighttime"
+    DAILY_TEMP_HOURS_ABOVE = "dailyTemperatureHoursAbove"
     DAILY_WATER_TABLE_DEPTH = "dailyWaterTableDepth"
+    # monthly (meteo.h:91-103 monthly family)
+    MONTHLY_TMIN = "monthlyAirTemperatureMin"
+    MONTHLY_TMAX = "monthlyAirTemperatureMax"
+    MONTHLY_TAVG = "monthlyAirTemperatureAvg"
+    MONTHLY_PREC = "monthlyPrecipitation"
+    MONTHLY_RAD = "monthlyGlobalRadiation"
+    MONTHLY_ET0_HS = "monthlyReferenceEvapotranspirationHS"
+    MONTHLY_BIC = "monthlyBIC"
+    # snow / surface energy family (meteo.h:103-105)
+    SNOW_WATER_EQUIVALENT = "snowWaterEquivalent"
+    SNOW_FALL = "snowFall"
+    SNOW_MELT = "snowMelt"
+    SNOW_VARIATION = "snowVariation"
+    SNOW_SURFACE_TEMPERATURE = "snowSurfaceTemperature"
+    SNOW_INTERNAL_ENERGY = "snowInternalEnergy"
+    SNOW_SURFACE_ENERGY = "snowSurfaceEnergy"
+    SNOW_AGE = "snowAge"
+    SNOW_LIQUID_WATER_CONTENT = "snowLiquidWaterContent"
+    SENSIBLE_HEAT = "sensibleHeat"
+    LATENT_HEAT = "latentHeat"
+    LEAF_AREA_INDEX = "leafAreaIndex"
+
+
+# daily -> monthly variable family (updateMeteoVariable, meteo.cpp monthly
+# branch); aggregation rule per computeMonthlyAggregate
+# (meteoPoint.cpp:1338-1404): temperatures average, water/energy totals sum
+DAILY_TO_MONTHLY = {
+    MeteoVariable.DAILY_TMIN: MeteoVariable.MONTHLY_TMIN,
+    MeteoVariable.DAILY_TMAX: MeteoVariable.MONTHLY_TMAX,
+    MeteoVariable.DAILY_TAVG: MeteoVariable.MONTHLY_TAVG,
+    MeteoVariable.DAILY_PREC: MeteoVariable.MONTHLY_PREC,
+    MeteoVariable.DAILY_RAD: MeteoVariable.MONTHLY_RAD,
+    MeteoVariable.DAILY_ET0_HS: MeteoVariable.MONTHLY_ET0_HS,
+    MeteoVariable.DAILY_BIC: MeteoVariable.MONTHLY_BIC,
+}
+MONTHLY_SUM_VARS = frozenset({
+    MeteoVariable.MONTHLY_PREC, MeteoVariable.MONTHLY_RAD,
+    MeteoVariable.MONTHLY_ET0_HS, MeteoVariable.MONTHLY_BIC,
+})
 
 
 # DB ids of the reference's variable_properties table (template_meteo.db;
@@ -129,8 +196,21 @@ QUALITY_RANGES = {
     MeteoVariable.DAILY_RHAVG: QualityRange(1, 104),
     MeteoVariable.DAILY_RAD: QualityRange(-20, 120),
     MeteoVariable.DAILY_WIND_SCALAR_AVG: QualityRange(0, 150),
+    MeteoVariable.DAILY_WIND_SCALAR_MAX: QualityRange(0, 150),
+    MeteoVariable.DAILY_WIND_VECTOR_AVG: QualityRange(0, 150),
+    MeteoVariable.DAILY_WIND_VECTOR_MAX: QualityRange(0, 150),
+    MeteoVariable.DAILY_WIND_VECTOR_DIR_PREVAILING: QualityRange(0, 360),
     MeteoVariable.DAILY_ET0_HS: QualityRange(0, 20),
     MeteoVariable.DAILY_ET0_PM: QualityRange(0, 20),
+    # qualityDailyBIC (quality.cpp:62)
+    MeteoVariable.DAILY_BIC: QualityRange(-20, 999),
+    # the daily-T family shares the T range (getQualityRange quality.cpp)
+    MeteoVariable.DAILY_TRANGE: QualityRange(0, 120),
+    MeteoVariable.MONTHLY_TMIN: QualityRange(-60, 60),
+    MeteoVariable.MONTHLY_TMAX: QualityRange(-60, 60),
+    MeteoVariable.MONTHLY_TAVG: QualityRange(-60, 60),
+    MeteoVariable.MONTHLY_PREC: QualityRange(0, 3000),
+    MeteoVariable.WIND_VECTOR_INTENSITY: QualityRange(0, 150),
 }
 
 
@@ -156,6 +236,8 @@ class MeteoStation:
     hourly: dict = dataclasses.field(default_factory=dict)   # var -> np[N]
     daily_d0: datetime.date | None = None
     daily: dict = dataclasses.field(default_factory=dict)    # var -> np[N]
+    monthly_m0: tuple | None = None          # (year, month) of first entry
+    monthly: dict = dataclasses.field(default_factory=dict)  # var -> np[N]
 
     def hourly_value(self, var: MeteoVariable,
                      when: datetime.datetime) -> float:
@@ -195,6 +277,67 @@ class MeteoStation:
         n = max(len(v) for v in self.hourly.values())
         return (self.hourly_t0,
                 self.hourly_t0 + datetime.timedelta(hours=n - 1))
+
+    # ---- monthly series (obsDataM analogue; meteoPoint.h monthly block)
+    def monthly_value(self, var: MeteoVariable, year: int,
+                      month: int) -> float:
+        series = self.monthly.get(var)
+        if series is None or self.monthly_m0 is None:
+            return NODATA
+        y0, m0 = self.monthly_m0
+        idx = (year - y0) * 12 + (month - m0)
+        if 0 <= idx < len(series):
+            v = float(series[idx])
+            return v if np.isfinite(v) else NODATA
+        return NODATA
+
+    def compute_monthly_aggregate(self, daily_var: MeteoVariable,
+                                  min_percentage: float = 80.0) -> bool:
+        """Aggregate a daily series into the monthly family
+        (computeMonthlyAggregate, meteoPoint.cpp:1338-1404): temperature
+        variables average over the valid days, water/energy totals
+        (prec, ET0, radiation, BIC) sum; months below ``min_percentage``
+        daily coverage become NODATA."""
+        monthly_var = DAILY_TO_MONTHLY.get(daily_var)
+        series = self.daily.get(daily_var)
+        if monthly_var is None or series is None or self.daily_d0 is None:
+            return False
+        qr = QUALITY_RANGES.get(daily_var)
+        import calendar
+        d0 = self.daily_d0
+        out = []
+        day = d0
+        i = 0
+        cur = (d0.year, d0.month)
+        vals = []
+        n_days = calendar.monthrange(*cur)[1]
+        ok_any = False
+        while i < len(series):
+            v = float(series[i])
+            good = np.isfinite(v) and v != NODATA
+            if good and qr is not None:
+                good = qr.vmin <= v <= qr.vmax
+            if good:
+                vals.append(v)
+            nxt = day + datetime.timedelta(days=1)
+            if (nxt.year, nxt.month) != cur or i == len(series) - 1:
+                if len(vals) / n_days * 100.0 >= min_percentage and vals:
+                    ok_any = True
+                    if monthly_var in MONTHLY_SUM_VARS:
+                        out.append(sum(vals))
+                    else:
+                        out.append(sum(vals) / len(vals))
+                else:
+                    out.append(NODATA)
+                vals = []
+                cur = (nxt.year, nxt.month)
+                n_days = calendar.monthrange(*cur)[1]
+            day = nxt
+            i += 1
+        if self.monthly_m0 is None:
+            self.monthly_m0 = (d0.year, d0.month)
+        self.monthly[monthly_var] = np.asarray(out, dtype=np.float64)
+        return ok_any
 
 
 @dataclasses.dataclass

@@ -108,6 +108,11 @@ class SolverParameters:
     # more steps on the line trajectory (76 vs 57 — the controller is
     # chaotically sensitive to inner-solve rounding), netting diag the
     # better storm wall-clock (1.39 vs 1.55 s/sim-hour); see BASELINE.md.
+    # "auto" resolves per hour at the model layer from cheap regime
+    # signals (rain flux / ponded fraction — Criteria3DModel.run_hour):
+    # "diag" under active storm forcing, "line" for drainage /
+    # redistribution hours, matching the measured ladder above without a
+    # human in the loop. Solver-level code never sees "auto".
     cg_precond: str = "diag"
 
     def max_iterations_for(self, approx: int | jax.Array):

