@@ -774,8 +774,14 @@ class Criteria3DProject:
             if when.hour == 23:
                 self.model.daily_update(t_min, t_max, date=when.date())
                 t_min = t_max = None
+            # mbr stays a 0-d device scalar inside the loop — the host
+            # never fences the device pipeline per hour (it overlaps the
+            # next hour's interpolation/IO with the running solve); the
+            # one conversion pass below closes the period
             log.append(dict(time=str(when), mbr=out["mbr"]))
         self.flush_outputs()
+        for e in log:
+            e["mbr"] = float(e["mbr"])
         return log
 
     def flush_outputs(self) -> None:
