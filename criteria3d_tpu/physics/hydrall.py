@@ -218,18 +218,23 @@ def farquhar_parameters(leaf_t_k, absorbed_par, lai, kb, kd_par,
                 rd=rd, gsc_min=gs_min * scale)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
+@functools.partial(jax.jit, static_argnames=("max_iter", "tol"))
 def photosynthesis_kernel(params, *, co2_pa, vpd_pa, pressure_pa, air_temp_c,
                           rni, slope_sat_vp, psychro_pa,
                           gac=0.5, ghr=0.5, stress=1.0, mi=9.31,
-                          n_iter=80):
+                          max_iter=10000, tol=1e-7):
     """Coupled assimilation / stomatal conductance / transpiration.
 
-    Damped fixed-point iteration of photosynthesisKernel
-    (hydrall.cpp:1306-1394), vectorised (fixed iteration count instead of the
-    reference's per-point early exit; converged points stay at their fixed
-    point). Returns (assimilation [mol CO2 m-2 s-1], gsc, transpiration
-    [mol H2O m-2 s-1]).
+    The damped fixed-point iteration of photosynthesisKernel
+    (hydrall.cpp:1306-1394) with the reference's EXACT semantics:
+    damping 0.01 on the stromal CO2 update, per-cell stopping at
+    |dASS| <= 1e-7 (cells freeze at their own stopping iterate — with
+    this damping the reference stops at a damping-dependent
+    pseudo-converged point, so matching requires the same trajectory),
+    and the dark-respiration rescaling RD *= clip(ASS/ASSOLD, 0.1, 10).
+    Parity vs the compiled reference kernel:
+    tests/test_hydrall_parity.py.  Returns (assimilation
+    [mol CO2 m-2 s-1], gsc, transpiration [mol H2O m-2 s-1]).
     """
     j = params["j"]
     vcmax = params["vcmax"]
@@ -241,10 +246,9 @@ def photosynthesis_kernel(params, *, co2_pa, vpd_pa, pressure_pa, air_temp_c,
 
     rh_factor = 613.75 * jnp.exp(17.502 * air_temp_c / (240.97 + air_temp_c))
     dum1 = 1.6 * slope_sat_vp / psychro_pa + ghr / gac
-    damping = 0.05
+    damping = 0.01
 
-    def body(carry, _):
-        ci, vpds, rd, ass_old = carry
+    def step(ci, vpds, rd):
         rh = 1.0 - vpds / rh_factor
         wc = vcmax * ci / (ci + kc * (1.0 + OSS / ko))
         wj = j * ci / (4.5 * ci + 10.5 * comp)
@@ -254,32 +258,56 @@ def photosynthesis_kernel(params, *, co2_pa, vpd_pa, pressure_pa, air_temp_c,
         cs = jnp.maximum(cs, 1e-4)
         cs_mol = jnp.maximum(cs / pressure_pa * 1e6, 1e-3)
         comp_mol = comp / pressure_pa * 1e6
-        # stomatal conductance (hydrall.cpp:1357-1359)
+        # stomatal conductance (hydrall.cpp:1359 — the ACTIVE line:
+        # GSCD + STOMWL*(ASS-RD)*1e6/(CSmol-COMPmol)*RH; the commented
+        # temp2 variant with an extra /pressure is dead code upstream and
+        # had previously been ported here, collapsing gsc to ~gscd)
         gsc = gscd + stomwl * (ass - rd) * 1e6 / jnp.maximum(
-            cs_mol - comp_mol, 1e-3) / pressure_pa * rh
+            cs_mol - comp_mol, 1e-3) * rh
         gsc = jnp.maximum(gsc, 1e-5)
         ci_new = cs - pressure_pa * (ass - rd) / gsc
         ci_new = jnp.clip(ci_new, 0.01, co2_pa)
-        ci_new = damping * ci_new + (1 - damping) * ci
+        ci_new = damping * ci_new + (1.0 - damping) * ci
+        ci_new = jnp.clip(ci_new, 0.01, co2_pa)
         vpds_new = (slope_sat_vp / HEAT_CAPACITY_AIR_MOLAR * rni
                     + vpd_pa * ghr) / (ghr + gsc * dum1)
-        ratio = jnp.clip(ass / jnp.maximum(ass_old, 1e-12), 0.1, 10.0)
-        rd_new = jnp.where(ass_old > 0, rd * ratio, rd)
-        return (ci_new, vpds_new, rd_new, ass), None
+        return ci_new, vpds_new, ass, gsc
 
-    ci0 = 0.7 * co2_pa * jnp.ones_like(j)
-    vpds0 = vpd_pa * jnp.ones_like(j)
-    (ci, vpds, rd, ass), _ = jax.lax.scan(
-        body, (ci0, vpds0, rd0 * jnp.ones_like(j), jnp.zeros_like(j)),
-        None, length=n_iter)
+    shape = jnp.broadcast_shapes(*(jnp.shape(x) for x in
+                                   (j, vcmax, rd0, stomwl, vpd_pa)))
+    ci0 = jnp.broadcast_to(0.7 * co2_pa, shape) + jnp.zeros(shape)
+    vpds0 = jnp.broadcast_to(vpd_pa, shape) + jnp.zeros(shape)
+    rd_a = jnp.broadcast_to(rd0, shape) + jnp.zeros(shape)
+
+    def cond(c):
+        it, _, _, _, _, _, done = c
+        return (it < max_iter) & ~jnp.all(done)
+
+    def body(c):
+        it, ci, vpds, rd, ass_old, out, done = c
+        ci2, vpds2, ass, gsc = step(ci, vpds, rd)
+        ratio = jnp.clip(ass / jnp.maximum(ass_old, 1e-300), 0.1, 10.0)
+        rd2 = jnp.where(it > 0, rd * ratio, rd)
+        newly_done = (it > 0) & (jnp.abs(ass - ass_old) <= tol)
+        keep = done
+        ci2 = jnp.where(keep, ci, ci2)
+        vpds2 = jnp.where(keep, vpds, vpds2)
+        rd2 = jnp.where(keep, rd, rd2)
+        out = (jnp.where(keep, out[0], ass), jnp.where(keep, out[1], gsc),
+               jnp.where(keep, out[2], vpds2))
+        ass_new = jnp.where(keep, ass_old, ass)
+        return (it + 1, ci2, vpds2, rd2, ass_new, out, done | newly_done)
+
+    zero = jnp.zeros(shape)
+    _, _, _, _, _, (ass, gsc, vpds), _ = jax.lax.while_loop(
+        cond, body,
+        (0, ci0, vpds0, rd_a, zero, (zero, zero, vpds0),
+         jnp.zeros(shape, bool)))
 
     night = j < 1e-7
     ass = jnp.where(night, 0.0, ass)
-    gsc = jnp.where(night, gscd, jnp.maximum(
-        gscd + stomwl * (ass - rd) * 1e6 / jnp.maximum(
-            (co2_pa / pressure_pa * 1e6) - comp / pressure_pa * 1e6, 1e-3)
-        / pressure_pa, 1e-5))
-    vpds = jnp.where(night, vpd_pa, vpds)
+    gsc = jnp.where(night, gscd + zero, gsc)
+    vpds = jnp.where(night, vpd_pa + zero, vpds)
     tr = jnp.maximum(1e-8, (gsc / 0.64) * vpds / pressure_pa)
     return ass, gsc, tr
 
