@@ -13,9 +13,10 @@ Vectorised re-implementation of the core of src/grapevine/grapevine.cpp
 * berry quality: Gompertz berry volume → tartaric acid
   (grapevine.cpp:1840-1861).
 
-Photosynthesis/transpiration reuse the Wang-Leuning/Farquhar kernel from
-:mod:`criteria3d_tpu.physics.hydrall` (the reference's grapevine kernel,
-grapevine.cpp:816-925, is the same Magnani formulation).
+Photosynthesis/transpiration live in
+:mod:`criteria3d_tpu.physics.vine_photosynthesis` (the vine-specific
+sun/shade Wang-Leuning stack, grapevine.cpp:385-1020, parity-tested
+against the compiled reference).
 
 All functions are element-wise over arbitrary map shapes; stages are carried
 as a float (integer part = stage, fraction = progress), exactly like the
@@ -30,9 +31,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from criteria3d_tpu.constants import NODATA
+
 __all__ = ["GrapevineParameters", "GrapevineState", "phenology_daily_step",
-           "lai_vine_daily", "fruit_biomass_step", "tartaric_acid",
-           "Stage"]
+           "update_thermal_sum", "lai_vine_daily", "fruit_biomass_step",
+           "tartaric_acid", "Stage"]
 
 
 class Stage:
@@ -52,15 +55,18 @@ class Stage:
 class GrapevineParameters:
     """Cultivar parameters (TVineCultivar; defaults ~ Sangiovese)."""
 
-    # PhenoVitis
-    critical_chilling: float = 110.0
-    co1: float = 2000.0
-    co2: float = -0.075       # parameterPhenoVitisFix.co2
+    # PhenoVitis — defaults = the fields DB 'default' cultivar row
+    # (vine3DProject.cpp:240-263 column mapping)
+    critical_chilling: float = 78.69
+    co1: float = 176.26        # phenovitis_ecodormancy
+    co2: float = -0.015        # parameterPhenoVitisFix.co2 (grapevine.cpp:283)
     chilling_a: float = 0.005  # parameterPhenoVitisFix.a
     optimal_chilling_temp: float = 2.8
-    critical_force_veraison: float = 90.0
-    critical_force_maturity: float = 135.0
-    degree_days_veraison: float = 1200.0
+    critical_force_flowering: float = 24.71
+    critical_force_fruitset: float = 34.71
+    critical_force_veraison: float = 75.86
+    critical_force_maturity: float = 95.71
+    degree_days_veraison: float = 2547.0
     starting_doy: int = 244    # phenology year restart (1 Sep)
     # Bindi-Miglietta
     bm_a: float = -0.28
@@ -90,15 +96,21 @@ class GrapevineState:
     fruit_biomass: jax.Array      # [g m-2]
     cumulated_biomass: jax.Array  # [g m-2]
     days_after_bloom: jax.Array
+    dd_march: jax.Array           # [DD] thermal sum from 1 March (NODATA out)
+    dd_fruit_set: jax.Array       # [DD] thermal sum latched at fruit set
+    brix: jax.Array               # [Brix] berry sugar (NODATA out of season)
+    potential_brix: jax.Array     # [Brix] radiation-driven ceiling
 
     @staticmethod
     def initialize(shape=(), dtype=jnp.float64) -> "GrapevineState":
         f = lambda v: jnp.full(shape, v, dtype)
         return GrapevineState(
-            stage=f(Stage.ENDO_DORMANCY), chilling=f(0.0),
-            force_bud_burst=f(0.0), force_veg=f(0.0), lai=f(0.2),
+            stage=f(Stage.ENDO_DORMANCY), chilling=f(86.267),
+            force_bud_burst=f(0.415), force_veg=f(0.0), lai=f(0.2),
             shoot_leaf_number=f(1.0), fruit_biomass=f(0.0),
-            cumulated_biomass=f(0.0), days_after_bloom=f(0.0))
+            cumulated_biomass=f(0.0), days_after_bloom=f(0.0),
+            dd_march=f(NODATA), dd_fruit_set=f(NODATA), brix=f(NODATA),
+            potential_brix=f(25.0))
 
 
 def chilling_rate(temp, a, c_opt):
@@ -111,30 +123,75 @@ def force_increment(temp):
     return 1.0 / (1.0 + jnp.exp(-0.26 * (temp - 16.06)))
 
 
+def update_thermal_sum(state: "GrapevineState", mean_daily_temp,
+                       after_first_march) -> "GrapevineState":
+    """Daily thermal-sum bookkeeping the VINE3D app performs BEFORE the
+    phenology step (updateThermalSum, bin/VINE3D/plant.cpp:378-420):
+    degree days from 1 March accumulate max(0, Tavg); the thermal sum at
+    fruit set is latched the first day the stage reaches fruitSet; outside
+    the March-November window the sum is NODATA."""
+    t = jnp.asarray(mean_daily_temp)
+    is_fruit_set = state.stage >= Stage.FRUIT_SET
+    dd_fs = jnp.where(is_fruit_set & (state.dd_fruit_set == NODATA),
+                      state.dd_march, state.dd_fruit_set)
+    dd = jnp.where(state.dd_march == NODATA,
+                   jnp.maximum(0.0, t),
+                   state.dd_march + jnp.maximum(0.0, t))
+    dd = jnp.where(jnp.asarray(after_first_march), dd, NODATA)
+    return dataclasses.replace(state, dd_march=dd, dd_fruit_set=dd_fs)
+
+
 def phenology_daily_step(state: GrapevineState, params: GrapevineParameters,
                          mean_daily_temp, doy) -> GrapevineState:
-    """One daily PhenoVitis step (computePhenology, grapevine.cpp:1393-1460).
+    """One daily PhenoVitis step — the EXACT computePhenology state
+    machine (grapevine.cpp:1393-1460, parity vs the compiled reference in
+    tests/test_grapevine_parity.py::test_phenology_*):
 
-    Chilling accumulates from ``starting_doy``; once critical chilling is
-    reached the forcing sum drives bud burst against the chilling-dependent
-    critical force; the vegetative forcing then advances the stage through
-    veraison to maturity.
+    * chilling resets on ``starting_doy`` and accumulates the chilling
+      rate; stage = endo + min(1, chill/critChill);
+    * once chilled, the bud-burst forcing accumulates the plain logistic
+      and stage = eco + min(1, 1 - (critF - F)/critF) with the
+      chilling-dependent critF = co1*exp(co2*chill);
+    * past bud burst the VEGETATIVE forcing accumulates
+      forceStateFunction(F, T, ddVeraison) — logistic plus the late-season
+      cold correction once the thermal sum passes ddVeraison
+      (grapevine.cpp:1367-1385) — and the stage interpolates through the
+      flowering / fruit-set / veraison sub-segments, with the fruit-set ->
+      veraison leg driven by the MIXED degree-days model
+      (dd from 1 March vs the latched dd at fruit set);
+    * berry brix = min(potential, 0.28*(F - critVeraison) + 11.5) between
+      veraison and senescence;
+    * 15 November (doy 320) hard-resets to endodormancy.
     """
     t = jnp.asarray(mean_daily_temp)
+
+    # entry reset while still in endodormancy (grapevine.cpp:1398-1416):
+    # growth state and the thermal sums are cleared every day until the
+    # stage passes ecodormancy
+    pre_eco = state.stage < Stage.ECO_DORMANCY
+    state = dataclasses.replace(
+        state,
+        cumulated_biomass=jnp.where(pre_eco, 0.0, state.cumulated_biomass),
+        fruit_biomass=jnp.where(pre_eco, 0.0, state.fruit_biomass),
+        lai=jnp.where(pre_eco, 0.01, state.lai),           # LAIMIN
+        shoot_leaf_number=jnp.where(pre_eco, params.min_shoot_leaf_nr,
+                                    state.shoot_leaf_number),
+        days_after_bloom=jnp.where(pre_eco, 0.0, state.days_after_bloom),
+        dd_fruit_set=jnp.where(pre_eco, NODATA, state.dd_fruit_set),
+        dd_march=jnp.where(pre_eco, NODATA, state.dd_march))
 
     chill = jnp.where(doy == params.starting_doy, 0.0,
                       state.chilling + chilling_rate(
                           t, params.chilling_a, params.optimal_chilling_temp))
+
+    stage = Stage.ENDO_DORMANCY + jnp.minimum(
+        1.0, chill / params.critical_chilling)
 
     chilled = chill > params.critical_chilling
     force_bb = jnp.where(chilled,
                          state.force_bud_burst + force_increment(t),
                          state.force_bud_burst)
     critical_force = params.co1 * jnp.exp(params.co2 * chill)
-
-    # pre-budburst stage interpolation
-    stage = Stage.ENDO_DORMANCY + jnp.minimum(
-        1.0, chill / params.critical_chilling)
     stage = jnp.where(
         chilled,
         Stage.ECO_DORMANCY + jnp.minimum(
@@ -142,27 +199,79 @@ def phenology_daily_step(state: GrapevineState, params: GrapevineParameters,
             / jnp.maximum(critical_force, 1e-9)),
         stage)
 
-    burst = force_bb > critical_force
-    force_veg = jnp.where(burst, state.force_veg + force_increment(t),
-                          state.force_veg)
+    # NB upstream reads criticalForceStateBudBurst UNINITIALIZED when the
+    # chilling requirement is not yet met (grapevine.cpp:1446 — the local
+    # is only assigned inside the chilled branch); guarded here.
+    burst = chilled & (force_bb > critical_force)
 
-    # bud burst -> veraison: linear in vegetative forcing
-    stage_veg = Stage.BUD_BURST + (Stage.VERAISON - Stage.BUD_BURST) \
-        * jnp.minimum(1.0, force_veg / params.critical_force_veraison)
-    stage = jnp.where(burst, jnp.maximum(stage, stage_veg), stage)
+    # vegetative forcing: logistic + late-season cold correction
+    # (forceStateFunction(force, T, ddVeraison), grapevine.cpp:1367-1385)
+    f_inc = force_increment(t)
+    late = (state.dd_march > params.degree_days_veraison) \
+        & (state.dd_march != NODATA) & (state.days_after_bloom < 100.0)
+    b = jnp.where(t < 14.5, 5.0, 1.2)
+    cold_corr = -0.05 + 0.33 / (1.0 + jnp.abs((t - 14.5) / 4.0) ** (2.0 * b))
+    force_veg = jnp.where(
+        burst, state.force_veg + f_inc + jnp.where(late, cold_corr, 0.0),
+        state.force_veg)
 
-    past_veraison = force_veg > params.critical_force_veraison
-    stage_mat = Stage.VERAISON + (force_veg - params.critical_force_veraison) \
-        / (params.critical_force_maturity - params.critical_force_veraison)
-    stage = jnp.where(past_veraison,
-                      jnp.minimum(stage_mat, Stage.SENESCENCE), stage)
+    # sub-segment stage interpolation (grapevine.cpp:1458-1494)
+    crit_fl = params.critical_force_flowering
+    crit_fs = params.critical_force_fruitset
+    crit_ver = params.critical_force_veraison
+    crit_mat = params.critical_force_maturity
 
-    bloomed = stage >= Stage.FLOWERING
-    dab = jnp.where(bloomed, state.days_after_bloom + 1.0, 0.0)
+    stage_bb = Stage.BUD_BURST + force_veg / crit_fl
+    stage_fl = Stage.FLOWERING + (force_veg - crit_fl) / (crit_fs - crit_fl)
+    # fruit set -> veraison: the mixed degree-days model
+    stage_fs = jnp.where(
+        state.dd_fruit_set == NODATA,
+        jnp.asarray(Stage.FRUIT_SET, t.dtype),
+        Stage.FRUIT_SET + (state.dd_march - state.dd_fruit_set)
+        / jnp.maximum(params.degree_days_veraison - state.dd_fruit_set,
+                      1e-9))
+    stage_ver = Stage.VERAISON + (force_veg - crit_ver) \
+        / (crit_mat - crit_ver)
+    stage_ver = jnp.minimum(stage_ver, Stage.SENESCENCE)
+
+    stage_veg = jnp.where(
+        force_veg > crit_ver, stage_ver,
+        jnp.where(force_veg > crit_fs, stage_fs,
+                  jnp.where(force_veg > crit_fl, stage_fl, stage_bb)))
+    # the fruit-set DD model saturates the vegetative forcing at veraison
+    # (grapevine.cpp:1472-1474)
+    force_veg = jnp.where(burst & (force_veg > crit_fs)
+                          & (force_veg <= crit_ver)
+                          & (stage_veg >= Stage.VERAISON),
+                          crit_ver, force_veg)
+    stage = jnp.where(burst, stage_veg, stage)
+
+    # berry brix between veraison and senescence (grapevine.cpp:1496-1520)
+    in_berry = (stage >= Stage.VERAISON) & (stage < Stage.SENESCENCE)
+    brix = jnp.where(in_berry,
+                     jnp.minimum(state.potential_brix,
+                                 0.28 * (force_veg - crit_ver) + 11.5),
+                     NODATA)
+
+    # days after bloom (compute(), grapevine.cpp:94-99)
+    dab = jnp.where(stage >= Stage.FLOWERING, state.days_after_bloom + 1.0,
+                    state.days_after_bloom)
+
+    # 15 November reset (grapevine.cpp:1522-1532)
+    nov15 = doy == 320
+    stage = jnp.where(nov15, Stage.ENDO_DORMANCY, stage)
+    force_bb = jnp.where(nov15, 0.0, force_bb)
+    force_veg = jnp.where(nov15, 0.0, force_veg)
+    brix = jnp.where(nov15, NODATA, brix)
+    dd_fs = jnp.where(nov15, NODATA, state.dd_fruit_set)
+    dd_march = jnp.where(nov15, NODATA, state.dd_march)
+    # (the bloom counter resets in the ENTRY block of the next call once
+    # the stage has fallen below ecodormancy, grapevine.cpp:1398-1411)
 
     return dataclasses.replace(state, stage=stage, chilling=chill,
                                force_bud_burst=force_bb, force_veg=force_veg,
-                               days_after_bloom=dab)
+                               days_after_bloom=dab, brix=brix,
+                               dd_fruit_set=dd_fs, dd_march=dd_march)
 
 
 def lai_vine_daily(state: GrapevineState, params: GrapevineParameters,

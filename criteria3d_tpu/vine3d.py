@@ -431,6 +431,10 @@ class Vine3DModel:
         self._t30_avg += (tavg - self._t30_avg) / 30.0
         doy = date.timetuple().tm_yday
 
+        # thermal-sum bookkeeping BEFORE phenology (updateThermalSum,
+        # bin/VINE3D/plant.cpp:378-420), then the PhenoVitis step
+        after_march = (date.month, date.day) >= (3, 1)
+        self.vine = gv.update_thermal_sum(self.vine, tavg, after_march)
         self.vine = gv.phenology_daily_step(self.vine, p, tavg, doy)
         self.vine = gv.lai_vine_daily(
             self.vine, p, tavg, doy,

@@ -18,16 +18,99 @@
 // Output lines: key value [value...]
 #include <cstdio>
 #include <cstdlib>
+#include <string>
 #include "grapevine.h"
 
+// Phenology mode (first token "PHENO"): drives computePhenology daily with
+// the driver-side thermal-sum bookkeeping of bin/VINE3D/plant.cpp:378-420.
+//   PHENO co1 critChill forceFl forceFS forceVer forceMat ddVeraison
+//         chilling forceBB forceVeg stage ddMarch ddFS daysAfterBloom
+//         potentialBrix nDays
+//   then nDays lines: doy tavg afterMarch(0/1)
+// Output per day: stage chilling forceBB forceVeg ddMarch ddFS dab brix
+static int run_pheno() {
+    TVineCultivar cv;
+    double chilling, fbb, fveg, stage, ddm, ddfs, dab, potBrix;
+    int nDays;
+    if (scanf("%lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %d",
+              &cv.parameterPhenoVitis.co1,
+              &cv.parameterPhenoVitis.criticalChilling,
+              &cv.parameterPhenoVitis.criticalForceStateFlowering,
+              &cv.parameterPhenoVitis.criticalForceStateFruitSet,
+              &cv.parameterPhenoVitis.criticalForceStateVeraison,
+              &cv.parameterPhenoVitis.criticalForceStatePhysiologicalMaturity,
+              &cv.parameterPhenoVitis.degreeDaysAtVeraison,
+              &chilling, &fbb, &fveg, &stage, &ddm, &ddfs, &dab,
+              &potBrix, &nDays) != 16) return 2;
+
+    Vine3D_Grapevine gv;
+    gv.initializeLayers(2);
+    gv.getFixSimulationParameters();
+    gv.statePlant.statePheno.chillingState = chilling;
+    gv.statePlant.statePheno.forceStateBudBurst = fbb;
+    gv.statePlant.statePheno.forceStateVegetativeSeason = fveg;
+    gv.statePlant.statePheno.stage = stage;
+    gv.statePlant.statePheno.degreeDaysFromFirstMarch = ddm;
+    gv.statePlant.statePheno.degreeDaysAtFruitSet = ddfs;
+    gv.statePlant.statePheno.daysAfterBloom = dab;
+    gv.statePlant.stateGrowth.isHarvested = 0;
+    gv.potentialBrix = potBrix;
+
+    for (int d = 0; d < nDays; d++) {
+        int doy, afterMarch;
+        double tavg;
+        if (scanf("%d %lf %d", &doy, &tavg, &afterMarch) != 3) return 2;
+        // updateThermalSum (plant.cpp:378-420), scalar form
+        bool isFruitSet = gv.statePlant.statePheno.stage >= fruitSet;
+        if (isFruitSet &&
+            gv.statePlant.statePheno.degreeDaysAtFruitSet == NODATA)
+            gv.statePlant.statePheno.degreeDaysAtFruitSet =
+                gv.statePlant.statePheno.degreeDaysFromFirstMarch;
+        if (afterMarch) {
+            if (gv.statePlant.statePheno.degreeDaysFromFirstMarch == NODATA)
+                gv.statePlant.statePheno.degreeDaysFromFirstMarch =
+                    tavg > 0 ? tavg : 0.0;
+            else
+                gv.statePlant.statePheno.degreeDaysFromFirstMarch +=
+                    tavg > 0 ? tavg : 0.0;
+        } else {
+            gv.statePlant.statePheno.degreeDaysFromFirstMarch = NODATA;
+        }
+        gv.myDoy = doy;
+        gv.myMeanDailyTemperature = tavg;
+        bool isVeg = false;
+        gv.computePhenology(true, &isVeg, &cv);
+        // daysAfterBloom++ happens at the end of compute()
+        // (grapevine.cpp:94-99)
+        if (gv.statePlant.statePheno.stage >= flowering)
+            gv.statePlant.statePheno.daysAfterBloom++;
+        printf("%.17g %.17g %.17g %.17g %.17g %.17g %.17g %.17g\n",
+               gv.statePlant.statePheno.stage,
+               gv.statePlant.statePheno.chillingState,
+               gv.statePlant.statePheno.forceStateBudBurst,
+               gv.statePlant.statePheno.forceStateVegetativeSeason,
+               gv.statePlant.statePheno.degreeDaysFromFirstMarch,
+               gv.statePlant.statePheno.degreeDaysAtFruitSet,
+               gv.statePlant.statePheno.daysAfterBloom,
+               gv.statePlant.outputPlant.brixBerry);
+    }
+    return 0;
+}
+
 int main() {
+    char mode[32];
+    if (scanf("%31s", mode) != 1) return 2;
+    if (std::string(mode) == "PHENO") return run_pheno();
+    // not PHENO: the token was the photosynthesis-mode `lai` value
+    // (stdin is a pipe — not seekable — so parse it directly)
     double lai, sunElev, direct, diffuse, cloud, tAir, rh, wind, pressure;
     double meanMonthT, plantHeight, stageIn;
     int year, doy, nLayers;
-    if (scanf("%lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %d %d %lf %lf %d",
-              &lai, &sunElev, &direct, &diffuse, &cloud, &tAir, &rh, &wind,
+    lai = atof(mode);
+    if (scanf("%lf %lf %lf %lf %lf %lf %lf %lf %lf %d %d %lf %lf %d",
+              &sunElev, &direct, &diffuse, &cloud, &tAir, &rh, &wind,
               &pressure, &meanMonthT, &year, &doy, &plantHeight, &stageIn,
-              &nLayers) != 15) { fprintf(stderr, "bad header\n"); return 2; }
+              &nLayers) != 14) { fprintf(stderr, "bad header\n"); return 2; }
 
     Vine3D_Grapevine gv;
     gv.initializeLayers(nLayers);
