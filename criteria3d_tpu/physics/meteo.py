@@ -242,3 +242,58 @@ def wind_polar(u, v):
     direction = jnp.where(direction < 0.0, direction + 360.0, direction)
     direction = jnp.where(direction >= 360.0, direction - 360.0, direction)
     return intensity, direction
+
+
+def et0_penman_daily(doy, elevation_m, latitude_deg, t_min, t_max,
+                     wind_10m, rh_mean_pct, sw_global_mj):
+    """Daily Penman-Monteith ET0 [mm d-1] (ET0_Penman_daily,
+    meteo.cpp:560-630; FAO-56 with the Van Halsema/Munoz ea variant).
+
+    ``sw_global_mj`` in MJ m-2 d-1.  Reproduces the reference's
+    long-wave expression verbatim, INCLUDING its operator-precedence
+    quirk ``pow(Tmax,4) + pow(Tmin,4) / 2`` (only the Tmin term is
+    halved; FAO-56 intends the mean of both)."""
+    t_med = 0.5 * (jnp.asarray(t_min, jnp.float64)
+                   + jnp.asarray(t_max, jnp.float64))
+    extra = daily_extraterrestrial_radiation(latitude_deg, doy)
+    trans = jnp.where(extra > 0.0,
+                      jnp.minimum(0.75, sw_global_mj / jnp.maximum(extra,
+                                                                   1e-9)),
+                      0.0)
+    pressure = 101.3 * ((293.0 - 0.0065 * elevation_m) / 293.0) ** 5.26
+    psychro = psychrometric_constant(pressure, t_med)
+    es = 0.61078 * jnp.exp(17.27 * t_med / (t_med + 237.3))
+    ea = es * rh_mean_pct / 100.0
+    delta = saturation_slope(t_med, es)
+    sb_daily = 5.670373e-8 * 86400.0 / 1e6           # [MJ m-2 d-1 K-4]
+    emissivity = emissivity_from_vapor_pressure(ea)
+    lw_net = sb_daily * ((t_max + 273.0) ** 4 + (t_min + 273.0) ** 4 / 2.0) \
+        * emissivity * (1.35 * (trans / 0.75) - 0.35)
+    sw_net = sw_global_mj * (1.0 - 0.23)             # ALBEDO_CROP_REFERENCE
+    net_rad = sw_net - lw_net
+    lam = latent_heat_vaporization(t_med) / 1e6      # [MJ kg-1]
+    v2 = wind_10m * 0.748
+    evap_demand = 900.0 / (t_med + 273.0) * v2 * (es - ea)
+    return (delta * net_rad + psychro * evap_demand / lam) \
+        / (delta + psychro * (1.0 + 0.34 * v2))
+
+
+def et0_penman_hourly_net_rad(height_m, net_irradiance, t_air, rh_pct,
+                              wind_10m):
+    """Hourly Penman-Monteith ET0 [mm h-1] from a MEASURED net irradiance
+    [W m-2] (ET0_Penman_hourly_net_rad, meteo.cpp:632-690)."""
+    net_rad = 3600.0 * jnp.asarray(net_irradiance, jnp.float64)
+    es = saturation_vapor_pressure(t_air) / 1000.0   # [kPa]
+    ea = rh_pct * es / 100.0
+    t_k = jnp.asarray(t_air, jnp.float64) + 273.15
+    g = jnp.where(net_rad > 0.0, 0.1 * net_rad, 0.5 * net_rad)
+    cd = jnp.where(net_rad > 0.0, 0.24, 0.96)
+    delta = saturation_slope(t_air, es)
+    pressure = pressure_from_altitude(height_m) / 1000.0
+    gamma = psychrometric_constant(pressure, t_air)
+    lam = latent_heat_vaporization(t_air)
+    v2 = wind_10m * 0.748
+    den = delta + gamma * (1.0 + cd * v2)
+    first = delta * (net_rad - g) / (lam * den)
+    second = gamma * (37.0 / t_k) * v2 * (es - ea) / den
+    return jnp.maximum(first + second, 0.0)

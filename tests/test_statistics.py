@@ -195,3 +195,22 @@ def test_degree_days_and_bic():
     assert float(heating_degree_days(25.0)) == 0.0
     assert float(cooling_degree_days(28.0)) == 4.0
     assert float(daily_bic(10.0, 3.5)) == 6.5
+
+
+def test_et0_daily_and_net_rad_hourly():
+    """Sanity for the two round-4 ET0 variants (ET0_Penman_daily,
+    ET0_Penman_hourly_net_rad; meteo.cpp:560-690)."""
+    from criteria3d_tpu.physics.meteo import (et0_penman_daily,
+                                              et0_penman_hourly_net_rad)
+
+    summer = float(et0_penman_daily(180, 50.0, 44.5, 14.0, 28.0, 2.5,
+                                    60.0, 26.0))
+    spring = float(et0_penman_daily(120, 700.0, 45.6, 5.0, 18.0, 4.0,
+                                    75.0, 18.0))
+    assert 5.0 < summer < 10.0
+    assert 2.0 < spring < summer
+
+    day = float(et0_penman_hourly_net_rad(120.0, 350.0, 24.0, 55.0, 2.0))
+    night = float(et0_penman_hourly_net_rad(120.0, -40.0, 8.0, 90.0, 1.0))
+    assert 0.2 < day < 0.7
+    assert night == 0.0
