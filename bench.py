@@ -95,15 +95,16 @@ def main():
     inner = "jacobi" if (use_pallas or
                          os.environ.get("BENCH_CG", "1") != "1") else "cg"
     if os.environ.get("BENCH_MODE", "fast") == "fast":
-        # Production default = f32 psi-carry + preconditioned CG inner
-        # solver (1.39 vs 1.52 s/sim-hour over XLA Jacobi sweeps: tighter
-        # inner convergence lets dt grow, 57 vs 81 steps/sim-hour).
-        # BENCH_CG=0 selects XLA Jacobi sweeps; BENCH_PALLAS=1 the Pallas
-        # bundled Jacobi kernel (still the validated multi-chip shard_map
-        # path; implies Jacobi).
+        # Production default = f32 psi-carry + vertical-line-
+        # preconditioned CG (round-4 5-run medians: line 1.114 s vs diag
+        # 1.257 vs XLA Jacobi ~1.52 s/sim-hour — line also wins every
+        # drainage hour, BASELINE.md ladder). BENCH_CG=0 selects XLA
+        # Jacobi sweeps; BENCH_PALLAS=1 the Pallas bundled Jacobi kernel
+        # (still the validated multi-chip shard_map path; implies
+        # Jacobi); BENCH_CG_PRECOND=diag restores the round-3 default.
         params = SolverParameters.fast_f32(
             use_pallas=use_pallas, inner_solver=inner,
-            cg_precond=os.environ.get("BENCH_CG_PRECOND", "diag"))
+            cg_precond=os.environ.get("BENCH_CG_PRECOND", "line"))
     else:
         params = SolverParameters(inner_solver=inner)
 

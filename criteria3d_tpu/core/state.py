@@ -96,23 +96,21 @@ class SolverParameters:
     # converged solution. Typically converges in far fewer iterations than
     # Jacobi; uses the same psi-weighted residual norm and tolerance.
     inner_solver: str = "jacobi"
-    # CG preconditioner. "diag" (default) is plain Jacobi (diagonal)
+    # CG preconditioner. "diag" is plain Jacobi (diagonal)
     # preconditioning. "line" solves the vertical tridiagonal block of
     # every soil column exactly per iteration (unrolled batched Thomas
     # over the ~11-layer axis, water.tridiag_vertical_solve) — the classic
     # remedy for this grid's centimetre-vertical vs metre-lateral
-    # anisotropy, which otherwise dominates the condition number. Measured
-    # on the Ravone catchment: line needs ~2.3x fewer CG iterations and
-    # wins drainage/redistribution hours (0.94 vs 1.23 s), but on the
-    # storm benchmark hour the adaptive-dt controller happens to accept
-    # more steps on the line trajectory (76 vs 57 — the controller is
-    # chaotically sensitive to inner-solve rounding), netting diag the
-    # better storm wall-clock (1.39 vs 1.55 s/sim-hour); see BASELINE.md.
-    # "auto" resolves per hour at the model layer from cheap regime
-    # signals (rain flux / ponded fraction — Criteria3DModel.run_hour):
-    # "diag" under active storm forcing, "line" for drainage /
-    # redistribution hours, matching the measured ladder above without a
-    # human in the loop. Solver-level code never sees "auto".
+    # anisotropy, which otherwise dominates the condition number.
+    # ROUND-4 5-run medians on full-res Ravone: line wins BOTH regimes
+    # (storm 1.114 s vs diag 1.257, 51 vs 57 accepted steps; drainage
+    # hours 1.238/0.197 vs 1.794/0.312 s) — the round-3 adverse
+    # step-count flip (76 vs 57) no longer reproduces, so line is the
+    # fast_f32 production default (BASELINE.md ladder). "auto" resolves
+    # per hour at the model layer from cheap regime signals
+    # (Criteria3DModel._resolve_precond), retained as a regime-splitting
+    # hook should a future trajectory favour diag again; solver-level
+    # code never sees "auto".
     cg_precond: str = "diag"
 
     def max_iterations_for(self, approx: int | jax.Array):
@@ -150,6 +148,10 @@ class SolverParameters:
         if not overrides.get("use_pallas", False) \
                 and "inner_solver" not in overrides:
             args["inner_solver"] = "cg"
+            # vertical-line Thomas preconditioner: round-4 5-run medians
+            # win BOTH the storm hour (1.114 vs 1.257 s) and the drainage
+            # hours (see cg_precond docs / BASELINE.md)
+            args.setdefault("cg_precond", "line")
         args.update(overrides)
         return SolverParameters(**args)
 

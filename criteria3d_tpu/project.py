@@ -312,12 +312,12 @@ class Criteria3DProject:
             # Production fast path = f32 psi-carry + preconditioned CG
             # inner solver (see bench.py); set use_pallas for the bundled
             # Jacobi kernel instead.
-            # cg_precond="auto": the model layer picks diag for storm
-            # hours / line for drainage hours per the measured ladder
-            # (Criteria3DModel._resolve_precond)
+            # cg_precond follows the fast_f32 production default
+            # ("line" — round-4 5-run medians win both storm and
+            # drainage regimes, see SolverParameters.cg_precond)
             self.params = dataclasses.replace(
                 self.params, sweep_dtype=jnp.float32, inner_solver="cg",
-                cg_precond="auto")
+                cg_precond="line")
 
         mconfig = ModelConfig(
             latitude=cfg.latitude, longitude=cfg.longitude,
