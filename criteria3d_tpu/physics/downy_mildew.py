@@ -38,6 +38,8 @@ class DownyMildewState:
     wet_duration: jax.Array   # (..., N)
     sum_t: jax.Array          # (..., N)
     nr_hours: jax.Array       # (..., N)
+    seq: jax.Array            # (..., N) insertion order (newest = max)
+    seq_counter: jax.Array    # next sequence number
 
     @staticmethod
     def initialize(shape=(), dtype=jnp.float32) -> "DownyMildewState":
@@ -48,7 +50,7 @@ class DownyMildewState:
             is_germination=jnp.zeros(shape, bool),
             stage=jnp.zeros(shape + (N_SLOTS,), jnp.int32),
             cohort=zn(), rate=zn(), wet_duration=zn(), sum_t=zn(),
-            nr_hours=zn())
+            nr_hours=zn(), seq=zn(), seq_counter=z())
 
 
 @dataclasses.dataclass
@@ -134,6 +136,9 @@ def downy_mildew_step(state: DownyMildewState, inp: DownyMildewInput,
     wet_dur = jnp.where(is_new, 0.0, state.wet_duration)
     sum_t = jnp.where(is_new, 0.0, state.sum_t)
     nr_hours = jnp.where(is_new, 0.0, state.nr_hours)
+    seq_counter = jnp.where(start, state.seq_counter + 1.0,
+                            state.seq_counter)
+    seq = jnp.where(is_new, seq_counter[..., None], state.seq)
 
     current_pmo = jnp.where(start, 0.0, state.current_pmo)
     is_germ = jnp.where(start, True, state.is_germination)
@@ -206,7 +211,15 @@ def downy_mildew_step(state: DownyMildewState, inp: DownyMildewInput,
     s5 = (stage == 5) & ~infect
     rate = jnp.where(s5, rate + incubation(tair_b), rate)
     done5 = s5 & (rate > 1.0)
-    out_oil = out_oil + jnp.sum(jnp.where(done5, cohort, 0.0), axis=-1)
+    # REFERENCE QUIRK reproduced: downyMildew.cpp:213 ASSIGNS
+    # output.oilSpots = cohort (no +=), so when several cohorts finish
+    # incubation the same hour only the LAST one in the vector — the
+    # NEWEST, by push_back order — is reported. Select by max insertion
+    # sequence among finishers; oil_spots_total carries the physical sum.
+    oil_total = jnp.sum(jnp.where(done5, cohort, 0.0), axis=-1)
+    newest = jnp.max(jnp.where(done5, seq, -1.0), axis=-1, keepdims=True)
+    out_oil = out_oil + jnp.sum(
+        jnp.where(done5 & (seq == newest), cohort, 0.0), axis=-1)
     out_rate = out_rate + jnp.sum(jnp.where(s5 & ~done5, cohort, 0.0), axis=-1)
 
     # free dead/completed slots
@@ -216,7 +229,8 @@ def downy_mildew_step(state: DownyMildewState, inp: DownyMildewInput,
     new_state = DownyMildewState(
         htt=htt, current_pmo=current_pmo, is_germination=is_germ,
         stage=stage, cohort=cohort, rate=rate, wet_duration=wet_dur,
-        sum_t=sum_t, nr_hours=nr_hours)
+        sum_t=sum_t, nr_hours=nr_hours, seq=seq, seq_counter=seq_counter)
     outputs = dict(is_infection=out_infection, infection_rate=out_rate,
-                   oil_spots=out_oil, mmo=1.0 - sum_pmo)
+                   oil_spots=out_oil, oil_spots_total=oil_total,
+                   mmo=1.0 - sum_pmo)
     return new_state, outputs

@@ -15,6 +15,8 @@ INC="-I$S/grapevine -I$A/soil -I$A/crop -I$A/mathFunctions -I$A/crit3dDate"
 
 for src in \
     $S/grapevine/grapevine.cpp \
+    $S/grapevine/downyMildew.cpp \
+    $S/grapevine/powderyMildew.cpp \
     $A/soil/soil.cpp \
     $A/crop/root.cpp \
     $A/crop/biomass.cpp \
@@ -31,5 +33,12 @@ done
 
 g++ $CXXFLAGS -fno-access-control $INC -c "$HERE/grapevine_runner.cpp" \
     -o "$BUILD/grapevine_runner.o"
-g++ $CXXFLAGS "$BUILD"/*.o -o "$BUILD/grapevine_runner"
-echo "built $BUILD/grapevine_runner"
+g++ $CXXFLAGS "$BUILD"/grapevine.o "$BUILD"/soil.o "$BUILD"/root.o \
+    "$BUILD"/biomass.o "$BUILD"/crit3dDate.o "$BUILD"/crit3dTime.o \
+    "$BUILD"/basicMath.o "$BUILD"/physics.o "$BUILD"/furtherMathFunctions.o \
+    "$BUILD"/gammaFunction.o "$BUILD"/statistics.o \
+    "$BUILD/grapevine_runner.o" -o "$BUILD/grapevine_runner"
+g++ $CXXFLAGS $INC -c "$HERE/mildew_runner.cpp" -o "$BUILD/mildew_runner.o"
+g++ $CXXFLAGS "$BUILD"/downyMildew.o "$BUILD"/powderyMildew.o \
+    "$BUILD"/basicMath.o "$BUILD"/physics.o "$BUILD/mildew_runner.o" -o "$BUILD/mildew_runner"
+echo "built $BUILD/grapevine_runner + $BUILD/mildew_runner"
