@@ -17,6 +17,7 @@ for src in \
     $S/grapevine/grapevine.cpp \
     $S/grapevine/downyMildew.cpp \
     $S/grapevine/powderyMildew.cpp \
+    $A/crop/rainfallInterception.cpp \
     $A/soil/soil.cpp \
     $A/crop/root.cpp \
     $A/crop/biomass.cpp \
@@ -40,5 +41,6 @@ g++ $CXXFLAGS "$BUILD"/grapevine.o "$BUILD"/soil.o "$BUILD"/root.o \
     "$BUILD/grapevine_runner.o" -o "$BUILD/grapevine_runner"
 g++ $CXXFLAGS $INC -c "$HERE/mildew_runner.cpp" -o "$BUILD/mildew_runner.o"
 g++ $CXXFLAGS "$BUILD"/downyMildew.o "$BUILD"/powderyMildew.o \
+    "$BUILD"/rainfallInterception.o \
     "$BUILD"/basicMath.o "$BUILD"/physics.o "$BUILD/mildew_runner.o" -o "$BUILD/mildew_runner"
 echo "built $BUILD/grapevine_runner + $BUILD/mildew_runner"

@@ -18,6 +18,7 @@
 #include <cstring>
 #include "downyMildew.h"
 #include "powderyMildew.h"
+#include "rainfallInterception.h"
 
 int main() {
     char mode[16];
@@ -25,6 +26,26 @@ int main() {
     int n;
     if (scanf("%d", &n) != 1) return 2;
 
+    if (!strcmp(mode, "INTERCEPT")) {
+        // canopy water balance series (waterManagementCanopy,
+        // rainfallInterception.cpp:75-116)
+        //   INTERCEPT n; then n lines: stored rain evap lai laiMin extCoef
+        //                              leafStorage stemStorage maxStemFlow
+        //   output: stored freeRain drainage stemFlow throughfall soilWater
+        for (int i = 0; i < n; i++) {
+            double st, rain, ev, lai, laiMin, ext, ls, ss, msf;
+            if (scanf("%lf %lf %lf %lf %lf %lf %lf %lf %lf", &st, &rain,
+                      &ev, &lai, &laiMin, &ext, &ls, &ss, &msf) != 9)
+                return 2;
+            double freeRain = 0, drain = 0, stem = 0, through = 0, soil = 0;
+            canopy::waterManagementCanopy(&st, rain, ev, lai, laiMin, ext,
+                                          ls, ss, msf, &freeRain, &drain,
+                                          &stem, &through, &soil);
+            printf("%.17g %.17g %.17g %.17g %.17g %.17g\n", st, freeRain,
+                   drain, stem, through, soil);
+        }
+        return 0;
+    }
     if (!strcmp(mode, "DOWNY")) {
         TdownyMildew dm;
         dm.isGermination = false;

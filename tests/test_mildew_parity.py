@@ -146,3 +146,53 @@ def test_powdery_mildew_season(runner, seed):
                                    rtol=rtol, atol=1e-7,
                                    err_msg=f"seed {seed}: {name}")
     assert ref[:, 3].max() > 0      # sporulation happened
+
+
+def test_canopy_interception_parity(runner):
+    """Canopy water balance vs the compiled waterManagementCanopy
+    (rainfallInterception.cpp:75-116), randomized step draws + a wet-dry
+    sequence carrying the stored water through."""
+    from criteria3d_tpu.physics.interception import canopy_water_management
+
+    rng = np.random.default_rng(17)
+    rows = []
+    stored = 0.0
+    seq = []
+    for k in range(40):
+        rain = float(rng.choice([0.0, 0.0, rng.uniform(0.1, 12.0)]))
+        ev = float(rng.uniform(0.0, 0.5))
+        lai = float(rng.uniform(0.3, 6.0))
+        seq.append((stored, rain, ev, lai))
+        rows.append((stored, rain, ev, lai, 0.2, 0.6, 0.2, 0.5, 0.15))
+        stored = None  # chained below
+
+    # chain: feed each step's reference stored water into the next row
+    out_rows = []
+    st = 0.0
+    for k in range(40):
+        _, rain, ev, lai = seq[k]
+        row = (st, rain, ev, lai, 0.2, 0.6, 0.2, 0.5, 0.15)
+        head = "INTERCEPT 1"
+        body = " ".join(repr(float(v)) for v in row)
+        res = subprocess.run([str(BUILD / "mildew_runner")],
+                             input=head + "\n" + body + "\n",
+                             capture_output=True, text=True, check=True)
+        vals = [float(v) for v in res.stdout.split()]
+        out_rows.append((row, vals))
+        st = vals[0]
+
+    st_ours = 0.0
+    for (row, ref_vals) in out_rows:
+        stored0, rain, ev, lai = row[0], row[1], row[2], row[3]
+        assert abs(st_ours - stored0) < 1e-9   # chained identically
+        out = canopy_water_management(jnp.asarray(st_ours), rain, ev, lai,
+                                      lai_min=0.2,
+                                      extinction_coefficient=0.6,
+                                      leaf_storage=0.2, stem_storage=0.5,
+                                      max_stem_flow_rate=0.15)
+        for key, idx in (("stored_water", 0), ("free_rainfall", 1),
+                         ("drainage", 2), ("stem_flow", 3),
+                         ("throughfall", 4), ("soil_water", 5)):
+            assert abs(float(out[key]) - ref_vals[idx]) < 1e-9, \
+                (key, row, float(out[key]), ref_vals[idx])
+        st_ours = float(out["stored_water"])
