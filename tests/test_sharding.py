@@ -219,3 +219,74 @@ def test_sharded_pallas_matches_single_device():
     assert float(out_dt) == pytest.approx(float(ref_dt))
     assert float(out_state.balance_current.mbr) == pytest.approx(
         float(ref_state.balance_current.mbr), abs=1e-8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_coupled_heat_matches_single_device():
+    """Round-4: the COUPLED water+heat hour (vapor on, f32 heat fast path)
+    shards over the (row, col) mesh and reproduces the single-device
+    trajectory — the full production step, not just the water half."""
+    from criteria3d_tpu.core.grid import BoundaryType
+    from criteria3d_tpu.solver import heat as H
+    from criteria3d_tpu.solver.coupled import compute_period_coupled
+
+    dem = valley_dem(16)
+    soil = SoilFields.uniform(dem.shape, vg_alpha=1.4, vg_n=1.6, vg_he=0.02,
+                              theta_s=0.43, theta_r=0.05, k_sat=1e-5)
+    grid = Grid.build(dem, 10.0, soil, total_depth=0.6)
+    grid = dataclasses.replace(
+        grid,
+        btype=grid.btype.at[1].set(jnp.where(
+            grid.mask[1], int(BoundaryType.HEAT_SURFACE), grid.btype[1])),
+        bsize=grid.bsize.at[1].set(jnp.where(
+            grid.mask[1], float(grid.area), grid.bsize[1])))
+    params = SolverParameters(heat_vapor=True)
+    water = WaterState.initialize(grid, params, matric_potential=-2.0)
+    water = initialize_balance(grid, params, water)
+    heat = H.initialize_heat(grid, 285.15)
+    heat = dataclasses.replace(
+        heat, storage_prev=H.heat_storage(grid, params, heat, water),
+        storage_whole=H.heat_storage(grid, params, heat, water))
+    boundary = H.HeatBoundary.uniform(
+        grid.shape[1:], air_temperature=295.15, rel_humidity=55.0,
+        wind_speed=2.0, net_irradiance=250.0, mask=grid.mask[1])
+
+    ref_w, ref_h = compute_period_coupled(grid, params, water, heat,
+                                          boundary, 3600.0)
+
+    mesh = make_mesh(8)
+    grid_s = shard_pytree(grid, mesh)
+    water_s = shard_pytree(water, mesh)
+    heat_s = shard_pytree(heat, mesh)
+    boundary_s = shard_pytree(boundary, mesh)
+    out_w, out_h = compute_period_coupled(grid_s, params, water_s, heat_s,
+                                          boundary_s, 3600.0)
+
+    # f64: the sharded program is the same computation modulo collective
+    # reduction order — trajectories match tightly over the full hour
+    np.testing.assert_allclose(np.asarray(out_w.h), np.asarray(ref_w.h),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_h.t), np.asarray(ref_h.t),
+                               rtol=0, atol=1e-5)
+    assert float(out_h.mbr) == pytest.approx(float(ref_h.mbr), abs=1e-3)
+
+    # f32 fast path: cross-chip reduction reordering at the f32 level
+    # compounds through the adaptive water-dt AND heat-substep gates over
+    # an hour; the spread is the fast path's own inter-trajectory
+    # envelope (measured ~3e-4 m / ~5e-2 K on this case)
+    params_f = SolverParameters.fast_f32(heat_vapor=True)
+    water_f = WaterState.initialize(grid, params_f, matric_potential=-2.0)
+    water_f = initialize_balance(grid, params_f, water_f)
+    heat_f = H.initialize_heat(grid, 285.15)
+    heat_f = dataclasses.replace(
+        heat_f, storage_prev=H.heat_storage(grid, params_f, heat_f, water_f),
+        storage_whole=H.heat_storage(grid, params_f, heat_f, water_f))
+    ref_wf, ref_hf = compute_period_coupled(grid, params_f, water_f, heat_f,
+                                            boundary, 3600.0)
+    out_wf, out_hf = compute_period_coupled(
+        shard_pytree(grid, mesh), params_f, shard_pytree(water_f, mesh),
+        shard_pytree(heat_f, mesh), shard_pytree(boundary, mesh), 3600.0)
+    np.testing.assert_allclose(np.asarray(out_wf.h), np.asarray(ref_wf.h),
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_hf.t), np.asarray(ref_hf.t),
+                               rtol=0, atol=0.2)
