@@ -24,6 +24,13 @@ Commands (case-insensitive; shared + CRITERIA3D sets):
                                  color-scale quick-look PNG of a raster
                                  (dem | swc | pond; reference color.cpp
                                  scales, headless GUI substitute)
+    MAP <out.png> [var] [scale]  slope-shaded map composite with station
+                                 markers + legend (mapGraphics analogue)
+    VIEW3D <out.png> [var] [rot] [tilt]
+                                 oblique 3-D terrain render (the OpenGL
+                                 viewer analogue, headless)
+    REPORT <out.html>            standalone HTML run report (maps, 3-D
+                                 view, state tables; data-URI PNGs)
     STATE SAVE <dir> | STATE LOAD <dir>
     INFO                         grid/state summary
     LS                           list project .ini files under cwd
@@ -58,6 +65,7 @@ class Shell:
         self.model = None
         self.dem = None
         self.cell_size = None
+        self.raster_header = None
         self.stations = []
         self.meteo_grid = None
         self.fast = False         # mixed-precision production path (FAST)
@@ -102,6 +110,12 @@ class Shell:
                 self._cmd_export_csv(cmd, args)
             elif cmd == "EXPORTPNG":
                 self._cmd_export_png(args)
+            elif cmd == "MAP":
+                self._cmd_map(args)
+            elif cmd == "VIEW3D":
+                self._cmd_view3d(args)
+            elif cmd == "REPORT":
+                self._cmd_report(args)
             elif cmd == "STATE":
                 self._cmd_state(args)
             elif cmd == "INFO":
@@ -132,6 +146,7 @@ class Shell:
             np.isclose(self.project.dem, self.project.header.nodata),
             NODATA, self.project.dem)
         self.cell_size = self.project.header.cellsize
+        self.raster_header = self.project.header
         self.stations = self.project.stations
         valid = (~np.isclose(self.dem, NODATA)).sum()
         self._print(f"Project: {self.config.name}  DEM {self.dem.shape} "
@@ -147,6 +162,7 @@ class Shell:
             return
         self.dem, hdr = read_raster(args[0])
         self.cell_size = hdr.cellsize
+        self.raster_header = hdr
         self.project = None
         valid = (~np.isclose(self.dem, hdr.nodata)).sum()
         self._print(f"DEM: {self.dem.shape}, cell {hdr.cellsize} m, "
@@ -305,6 +321,32 @@ class Shell:
                 w.writerow(row)
         self._print(f"wrote {n} rows to {path}")
 
+    def _raster_for(self, var: str):
+        """(data, default_scale) for a renderable variable name, or
+        (None, None)."""
+        if var == "dem" and self.dem is not None:
+            return self.dem, "dtm"
+        if self.model is not None:
+            from criteria3d_tpu.solver import water as W
+            g = self.grid
+            if var in ("swc", "water_content"):
+                se = W.compute_se(g, self.params, self.model.water.h)
+                from criteria3d_tpu.core.soil import theta_from_se
+                theta = theta_from_se(g.soil, se)
+                # root-zone mean over subsurface layers
+                m = np.asarray(g.mask[1:], bool)
+                th = np.asarray(theta[1:])
+                return (np.where(m.any(0), (th * m).sum(0)
+                                 / np.maximum(m.sum(0), 1), NODATA),
+                        "surface_water")
+            if var in ("pond", "surface_water"):
+                return (np.where(np.asarray(g.mask[0]),
+                                 np.asarray(
+                                     self.model.water.surface_water_level(g))
+                                 * 1000.0, NODATA),
+                        "surface_water")
+        return None, None
+
     def _cmd_export_png(self, args):
         """Headless color-scale quick-look of a raster variable
         (EXPORTPNG <variable> <out.png> [scale] — the GUI-less analogue of
@@ -315,29 +357,8 @@ class Shell:
                         f"[scale: {'|'.join(sorted(COLOR_SCALES))}]")
             return
         var, path = args[0].lower(), args[1]
-        scale = args[2] if len(args) > 2 else None
-        data = None
-        if var == "dem" and self.dem is not None:
-            data, scale = self.dem, scale or "dtm"
-        elif self.model is not None:
-            from criteria3d_tpu.solver import water as W
-            g = self.grid
-            if var in ("swc", "water_content"):
-                se = W.compute_se(g, self.params, self.model.water.h)
-                from criteria3d_tpu.core.soil import theta_from_se
-                theta = theta_from_se(g.soil, se)
-                # root-zone mean over subsurface layers
-                m = np.asarray(g.mask[1:], bool)
-                th = np.asarray(theta[1:])
-                data = np.where(m.any(0), (th * m).sum(0)
-                                / np.maximum(m.sum(0), 1), NODATA)
-                scale = scale or "surface_water"
-            elif var in ("pond", "surface_water"):
-                data = np.where(np.asarray(g.mask[0]),
-                                np.asarray(
-                                    self.model.water.surface_water_level(g))
-                                * 1000.0, NODATA)
-                scale = scale or "surface_water"
+        data, default_scale = self._raster_for(var)
+        scale = args[2] if len(args) > 2 else default_scale
         if data is None:
             self._print(f"nothing to render for '{var}' "
                         "(load a DEM / initialize a model first)")
@@ -346,6 +367,113 @@ class Shell:
         rng = write_png_raster(path, data, scale or "default")
         self._print(f"wrote {path} [{rng['vmin']:.3g}..{rng['vmax']:.3g}]"
                     f" scale={scale}")
+
+    def _cmd_map(self, args):
+        """MAP <out.png> [var] [scale] — slope-shaded map composite
+        (hillshade DEM base + variable overlay + station markers + legend;
+        the mapGraphics canvas analogue, viz/mapview.py)."""
+        from criteria3d_tpu.viz import render_map
+        if not args:
+            self._print("Usage: MAP <out.png> [dem|swc|pond] [scale]")
+            return
+        if self.dem is None:
+            self._print("load a DEM first (DEM/PROJ)")
+            return
+        path = args[0]
+        var = args[1].lower() if len(args) > 1 else "dem"
+        overlay = None
+        overlay_scale = "default"
+        if var != "dem":
+            overlay, overlay_scale = self._raster_for(var)
+            if overlay is None:
+                self._print(f"nothing to render for '{var}'")
+                return
+        if len(args) > 2:
+            overlay_scale = args[2]
+        cv = render_map(self.dem, self.cell_size or 1.0,
+                        header=self.raster_header, overlay=overlay,
+                        overlay_scale=overlay_scale,
+                        points=self.stations or None,
+                        title=var.upper())
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        cv.save(path)
+        self._print(f"wrote {path} ({cv.width}x{cv.height})")
+
+    def _cmd_view3d(self, args):
+        """VIEW3D <out.png> [var] [rotation_deg] [tilt_deg] — oblique 3-D
+        terrain render (the bin/CRITERIA3D OpenGL viewer analogue,
+        viz/view3d.py)."""
+        from criteria3d_tpu.viz import render_surface3d
+        if not args:
+            self._print("Usage: VIEW3D <out.png> [dem|swc|pond] "
+                        "[rotation_deg] [tilt_deg]")
+            return
+        if self.dem is None:
+            self._print("load a DEM first (DEM/PROJ)")
+            return
+        path = args[0]
+        var = args[1].lower() if len(args) > 1 else "dem"
+        overlay = None
+        overlay_scale = "default"
+        if var != "dem":
+            overlay, overlay_scale = self._raster_for(var)
+            if overlay is None:
+                self._print(f"nothing to render for '{var}'")
+                return
+        rot = float(args[2]) if len(args) > 2 else 20.0
+        tilt = float(args[3]) if len(args) > 3 else 55.0
+        cv = render_surface3d(self.dem, self.cell_size or 1.0,
+                              overlay=overlay, overlay_scale=overlay_scale,
+                              rotation_deg=rot, tilt_deg=tilt,
+                              title=var.upper())
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        cv.save(path)
+        self._print(f"wrote {path} ({cv.width}x{cv.height})")
+
+    def _cmd_report(self, args):
+        """REPORT <out.html> — standalone HTML run report: map + 3-D view
+        + state summary tables (viz/report.py)."""
+        from criteria3d_tpu.viz import HtmlReport, render_map, render_surface3d
+        if not args:
+            self._print("Usage: REPORT <out.html>")
+            return
+        if self.dem is None:
+            self._print("load a DEM first (DEM/PROJ)")
+            return
+        path = args[0]
+        name = self.config.name if self.config is not None else "criteria3d"
+        rep = HtmlReport(f"{name} — run report")
+        rep.section("Terrain")
+        rep.figure(render_map(self.dem, self.cell_size or 1.0,
+                              header=self.raster_header,
+                              points=self.stations or None, title="DEM"),
+                   "Slope-shaded DEM with meteo stations")
+        rep.figure(render_surface3d(self.dem, self.cell_size or 1.0,
+                                    rotation_deg=20.0), "Oblique 3-D view")
+        for var, caption in (("swc", "Root-zone water content"),
+                             ("pond", "Surface water [mm]")):
+            data, sc = self._raster_for(var)
+            if data is not None:
+                rep.section(caption)
+                rep.figure(render_map(self.dem, self.cell_size or 1.0,
+                                      header=self.raster_header,
+                                      overlay=data, overlay_scale=sc,
+                                      title=var.upper()), caption)
+        if self.model is not None:
+            from criteria3d_tpu.solver import water as W
+            g = self.grid
+            twc = float(W.total_water_content(g, self.params,
+                                              self.model.water.h,
+                                              self.model.water.se))
+            rep.section("State")
+            rep.table([["grid", f"{g.shape}"],
+                       ["nodes", g.n_nodes],
+                       ["total water content [m3]", f"{twc:.2f}"],
+                       ["dt_curr [s]", f"{float(self.model.water.dt_curr):.0f}"]],
+                      header=["quantity", "value"])
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        rep.write(path)
+        self._print(f"wrote {path}")
 
     def _cmd_state(self, args):
         from criteria3d_tpu.io.state_io import load_state, save_state
