@@ -24,6 +24,9 @@ Commands (case-insensitive; shared + CRITERIA3D sets):
                                  color-scale quick-look PNG of a raster
                                  (dem | swc | pond; reference color.cpp
                                  scales, headless GUI substitute)
+    CHART <point_id> <out.png> [VAR ...]
+                                 station time-series chart (meteoWidget
+                                 analogue, headless)
     MAP <out.png> [var] [scale]  slope-shaded map composite with station
                                  markers + legend (mapGraphics analogue)
     VIEW3D <out.png> [var] [rot] [tilt]
@@ -116,6 +119,8 @@ class Shell:
                 self._cmd_view3d(args)
             elif cmd == "REPORT":
                 self._cmd_report(args)
+            elif cmd == "CHART":
+                self._cmd_chart(args)
             elif cmd == "STATE":
                 self._cmd_state(args)
             elif cmd == "INFO":
@@ -367,6 +372,48 @@ class Shell:
         rng = write_png_raster(path, data, scale or "default")
         self._print(f"wrote {path} [{rng['vmin']:.3g}..{rng['vmax']:.3g}]"
                     f" scale={scale}")
+
+    def _cmd_chart(self, args):
+        """CHART <point_id> <out.png> [VAR ...] — time-series chart of a
+        station's loaded hourly (or daily) data; the meteoWidget analogue
+        (agrolib/meteoWidget/meteoWidget.cpp), headless."""
+        from criteria3d_tpu.core.meteo import MeteoVariable
+        from criteria3d_tpu.viz import line_chart
+        if len(args) < 2:
+            self._print("Usage: CHART <point_id> <out.png> [VAR ...]")
+            return
+        pid, path = args[0], args[1]
+        st = next((s for s in self.stations if s.id == pid), None)
+        if st is None:
+            self._print(f"Unknown point: {pid} "
+                        f"(loaded: {[s.id for s in self.stations]})")
+            return
+        block, t0, step = st.hourly, st.hourly_t0, datetime.timedelta(hours=1)
+        if not block:
+            block, t0, step = st.daily, st.daily_d0, datetime.timedelta(days=1)
+        if not block or t0 is None:
+            self._print("No data loaded for this point.")
+            return
+        wanted = [a.upper() for a in args[2:]]
+        series = {}
+        for var, vals in sorted(block.items(), key=lambda kv: kv[0].name):
+            if wanted and var.name not in wanted \
+                    and var.value.upper() not in wanted:
+                continue
+            y = np.where(np.isclose(np.asarray(vals, np.float64), NODATA),
+                         np.nan, np.asarray(vals, np.float64))
+            t = [t0 + i * step for i in range(len(y))]
+            series[var.name] = (t, y)
+            if len(series) >= 6 and not wanted:
+                break
+        if not series:
+            self._print(f"no matching variables "
+                        f"(have: {[v.name for v in block]})")
+            return
+        cv = line_chart(series, title=f"{st.id} {st.name}".strip())
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        cv.save(path)
+        self._print(f"wrote {path} ({len(series)} series)")
 
     def _cmd_map(self, args):
         """MAP <out.png> [var] [scale] — slope-shaded map composite

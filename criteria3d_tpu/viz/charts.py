@@ -42,7 +42,8 @@ def _nice_ticks(lo: float, hi: float, n: int = 5) -> np.ndarray:
 
 _TIME_STEPS = [3600, 2 * 3600, 3 * 3600, 6 * 3600, 12 * 3600, 86400,
                2 * 86400, 5 * 86400, 10 * 86400, 30 * 86400, 90 * 86400,
-               365 * 86400]
+               365 * 86400, 2 * 365 * 86400, 5 * 365 * 86400,
+               10 * 365 * 86400, 20 * 365 * 86400]
 
 
 def _time_ticks(lo: float, hi: float, n: int = 6) -> np.ndarray:
@@ -63,7 +64,9 @@ def _to_float_x(x):
             return _dt.datetime(v.year, v.month, v.day).timestamp()
         vals = np.array([_epoch(v) for v in xs], np.float64)
         span = vals[-1] - vals[0] if len(vals) > 1 else 0.0
-        if span > 5 * 86400:
+        if span > 300 * 86400:
+            fmt = lambda s: _dt.datetime.fromtimestamp(s).strftime("%Y-%m")
+        elif span > 5 * 86400:
             fmt = lambda s: _dt.datetime.fromtimestamp(s).strftime("%m-%d")
         else:
             fmt = lambda s: _dt.datetime.fromtimestamp(s).strftime("%d %H:%M")

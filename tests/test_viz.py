@@ -243,21 +243,34 @@ def test_html_report_standalone(tmp_path, hill_dem):
 # ----------------------------------------------------------------- cli
 
 
-def test_cli_map_view3d_report(tmp_path):
+def test_cli_map_view3d_report_chart(tmp_path):
+    import datetime as dt
     import subprocess
     import sys
 
+    from criteria3d_tpu.core.meteo import MeteoVariable
     from criteria3d_tpu.io.esri import write_flt
+    from criteria3d_tpu.io.meteopoints import MeteoPointsDB
 
     dem = 100.0 + np.arange(12)[:, None] * 0.5 * np.ones((1, 10))
     write_flt(str(tmp_path / "dem"), dem,
               RasterHeader(nrows=12, ncols=10, xllcorner=0, yllcorner=0,
                            cellsize=10.0, nodata=-9999.0))
+    db_path = str(tmp_path / "pts.db")
+    with MeteoPointsDB(db_path, create=True) as db:
+        db.write_point_properties(id_point="P1", name="One",
+                                  latitude=44.5, longitude=11.3,
+                                  altitude=50.0)
+        db.write_hourly("P1", MeteoVariable.AIR_TEMPERATURE,
+                        dt.datetime(2024, 5, 1),
+                        15 + 5 * np.sin(np.arange(48) / 24 * 2 * np.pi))
     script = tmp_path / "batch.txt"
     script.write_text(
         f"DEM {tmp_path / 'dem.flt'}\n"
+        f"POINT {db_path}\n"
         f"MAP {tmp_path / 'map.png'}\n"
         f"VIEW3D {tmp_path / 'v3d.png'} dem 30 60\n"
+        f"CHART P1 {tmp_path / 'chart.png'} AIR_TEMPERATURE\n"
         f"REPORT {tmp_path / 'run.html'}\nEXIT\n")
     out = subprocess.run(
         [sys.executable, "-m", "criteria3d_tpu.cli", str(script)],
@@ -265,7 +278,7 @@ def test_cli_map_view3d_report(tmp_path):
         env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
              "PYTHONPATH": "."})
     assert out.returncode == 0, out.stderr
-    for f in ("map.png", "v3d.png", "run.html"):
+    for f in ("map.png", "v3d.png", "chart.png", "run.html"):
         assert (tmp_path / f).exists(), out.stdout
     img = decode_png(tmp_path / "map.png")
     assert img.shape[0] > 12 and img.shape[1] >= 500
