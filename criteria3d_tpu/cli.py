@@ -27,6 +27,9 @@ Commands (case-insensitive; shared + CRITERIA3D sets):
     CHART <point_id> <out.png> [VAR ...]
                                  station time-series chart (meteoWidget
                                  analogue, headless)
+    PROXY <out.png> [VAR] [YYYY-MM-DDTHH]
+                                 value-vs-elevation scatter + lapse line
+                                 (proxyWidget analogue)
     MAP <out.png> [var] [scale]  slope-shaded map composite with station
                                  markers + legend (mapGraphics analogue)
     VIEW3D <out.png> [var] [rot] [tilt]
@@ -121,6 +124,8 @@ class Shell:
                 self._cmd_report(args)
             elif cmd == "CHART":
                 self._cmd_chart(args)
+            elif cmd == "PROXY":
+                self._cmd_proxy(args)
             elif cmd == "STATE":
                 self._cmd_state(args)
             elif cmd == "INFO":
@@ -414,6 +419,47 @@ class Shell:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         cv.save(path)
         self._print(f"wrote {path} ({len(series)} series)")
+
+    def _cmd_proxy(self, args):
+        """PROXY <out.png> [VAR] [YYYY-MM-DDTHH] — station value vs
+        elevation scatter with the least-squares lapse line; the
+        proxyWidget analogue (agrolib/proxyWidget/proxyWidget.cpp)."""
+        from criteria3d_tpu.core.meteo import MeteoVariable
+        from criteria3d_tpu.viz import scatter_chart
+        if not args:
+            self._print("Usage: PROXY <out.png> [VAR] [YYYY-MM-DDTHH]")
+            return
+        if not self.stations:
+            self._print("load a meteo points DB first (POINT/PROJ)")
+            return
+        path = args[0]
+        var = MeteoVariable[args[1].upper()] if len(args) > 1 \
+            else MeteoVariable.AIR_TEMPERATURE
+        when = (datetime.datetime.fromisoformat(args[2])
+                if len(args) > 2 else None)
+        xs, ys = [], []
+        for st in self.stations:
+            series = st.hourly.get(var)
+            if series is None or st.hourly_t0 is None:
+                continue
+            idx = 0 if when is None else int(
+                (when - st.hourly_t0).total_seconds() // 3600)
+            if not 0 <= idx < len(series):
+                continue
+            v = float(series[idx])
+            if np.isclose(v, NODATA):
+                continue
+            xs.append(st.altitude)
+            ys.append(v)
+        if len(xs) < 2:
+            self._print(f"need >=2 stations with {var.name} data "
+                        f"(got {len(xs)})")
+            return
+        cv = scatter_chart(xs, ys, xlabel="ELEVATION [M]", ylabel=var.name,
+                           title=f"PROXY {var.name}")
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        cv.save(path)
+        self._print(f"wrote {path} ({len(xs)} stations)")
 
     def _cmd_map(self, args):
         """MAP <out.png> [var] [scale] — slope-shaded map composite

@@ -264,6 +264,12 @@ def test_cli_map_view3d_report_chart(tmp_path):
         db.write_hourly("P1", MeteoVariable.AIR_TEMPERATURE,
                         dt.datetime(2024, 5, 1),
                         15 + 5 * np.sin(np.arange(48) / 24 * 2 * np.pi))
+        db.write_point_properties(id_point="P2", name="Two",
+                                  latitude=44.6, longitude=11.4,
+                                  altitude=420.0)
+        db.write_hourly("P2", MeteoVariable.AIR_TEMPERATURE,
+                        dt.datetime(2024, 5, 1),
+                        12 + 5 * np.sin(np.arange(48) / 24 * 2 * np.pi))
     script = tmp_path / "batch.txt"
     script.write_text(
         f"DEM {tmp_path / 'dem.flt'}\n"
@@ -271,6 +277,7 @@ def test_cli_map_view3d_report_chart(tmp_path):
         f"MAP {tmp_path / 'map.png'}\n"
         f"VIEW3D {tmp_path / 'v3d.png'} dem 30 60\n"
         f"CHART P1 {tmp_path / 'chart.png'} AIR_TEMPERATURE\n"
+        f"PROXY {tmp_path / 'proxy.png'} AIR_TEMPERATURE 2024-05-01T06\n"
         f"REPORT {tmp_path / 'run.html'}\nEXIT\n")
     out = subprocess.run(
         [sys.executable, "-m", "criteria3d_tpu.cli", str(script)],
@@ -278,7 +285,7 @@ def test_cli_map_view3d_report_chart(tmp_path):
         env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
              "PYTHONPATH": "."})
     assert out.returncode == 0, out.stderr
-    for f in ("map.png", "v3d.png", "chart.png", "run.html"):
+    for f in ("map.png", "v3d.png", "chart.png", "proxy.png", "run.html"):
         assert (tmp_path / f).exists(), out.stdout
     img = decode_png(tmp_path / "map.png")
     assert img.shape[0] > 12 and img.shape[1] >= 500
