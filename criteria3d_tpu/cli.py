@@ -37,6 +37,9 @@ Commands (case-insensitive; shared + CRITERIA3D sets):
                                  viewer analogue, headless)
     REPORT <out.html>            standalone HTML run report (maps, 3-D
                                  view, state tables; data-URI PNGs)
+    ANIM <out.png> <hours> [var] [rain_mm_h]
+                                 run + animate hourly maps as one APNG
+                                 (the GUI's live canvas refresh)
     STATE SAVE <dir> | STATE LOAD <dir>
     INFO                         grid/state summary
     LS                           list project .ini files under cwd
@@ -126,6 +129,8 @@ class Shell:
                 self._cmd_chart(args)
             elif cmd == "PROXY":
                 self._cmd_proxy(args)
+            elif cmd == "ANIM":
+                self._cmd_anim(args)
             elif cmd == "STATE":
                 self._cmd_state(args)
             elif cmd == "INFO":
@@ -419,6 +424,45 @@ class Shell:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         cv.save(path)
         self._print(f"wrote {path} ({len(series)} series)")
+
+    def _cmd_anim(self, args):
+        """ANIM <out.png> <hours> [var] [rain_mm_h] — run the model and
+        write an APNG of the hourly variable maps (the GUI's live canvas
+        refresh, viz/animate.py). Uses the synthetic uniform forcing of
+        RUN's DEM-only mode; range fixed across frames."""
+        import jax.numpy as jnp
+        from criteria3d_tpu.model import HourlyForcing
+        from criteria3d_tpu.viz import animate_maps
+        if len(args) < 2:
+            self._print("Usage: ANIM <out.png> <hours> [swc|pond] "
+                        "[rain_mm_h]")
+            return
+        if self.model is None:
+            self._print("INITIALIZE first.")
+            return
+        path, hours = args[0], int(args[1])
+        var = args[2].lower() if len(args) > 2 else "pond"
+        rain = float(args[3]) if len(args) > 3 else 5.0
+        shape = self.grid.shape[1:]
+        f = lambda v: jnp.full(shape, v, jnp.float64)
+        rasters, labels = [], []
+        for h in range(hours):
+            forcing = HourlyForcing(air_temperature=f(15.0),
+                                    precipitation=f(rain),
+                                    rel_humidity=f(70.0), wind_speed=f(2.0))
+            out = self.model.run_hour(forcing, 2023, 6, 15, h % 24)
+            data, scale = self._raster_for(var)
+            if data is None:
+                self._print(f"nothing to render for '{var}'")
+                return
+            rasters.append(np.asarray(data))
+            labels.append(f"{var.upper()} H+{h + 1}")
+            self._print(f"hour {h}: MBR={out['mbr']:.2e}")
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        n = animate_maps(path, self.dem, self.cell_size or 1.0, rasters,
+                         labels=labels, overlay_scale=scale,
+                         header=self.raster_header)
+        self._print(f"wrote {path} ({n} frames)")
 
     def _cmd_proxy(self, args):
         """PROXY <out.png> [VAR] [YYYY-MM-DDTHH] — station value vs

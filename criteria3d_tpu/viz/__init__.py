@@ -28,9 +28,11 @@ from criteria3d_tpu.viz.view3d import render_surface3d
 from criteria3d_tpu.viz.charts import line_chart, scatter_chart
 from criteria3d_tpu.viz.soilplot import retention_plot, conductivity_plot
 from criteria3d_tpu.viz.report import HtmlReport
+from criteria3d_tpu.viz.animate import animate_maps, write_apng
 
 __all__ = [
     "Canvas", "text_size", "hillshade_rgb", "render_map",
     "render_surface3d", "line_chart", "scatter_chart",
     "retention_plot", "conductivity_plot", "HtmlReport",
+    "animate_maps", "write_apng",
 ]

@@ -240,6 +240,35 @@ def test_html_report_standalone(tmp_path, hill_dem):
     assert "<td>1.2e-4</td>" in txt
 
 
+# ------------------------------------------------------------- animate
+
+
+def test_apng_structure(tmp_path, hill_dem):
+    from criteria3d_tpu.viz import animate_maps, write_apng
+
+    frames = [np.full((8, 6, 4), v, np.uint8) for v in (10, 120, 250)]
+    p = tmp_path / "a.png"
+    write_apng(str(p), frames, delay_ms=100)
+    blob = p.read_bytes()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    # acTL declares 3 frames; 2 fdAT follow the first IDAT
+    i = blob.index(b"acTL")
+    nf, loops = struct.unpack(">II", blob[i + 4:i + 12])
+    assert (nf, loops) == (3, 0)
+    assert blob.count(b"fcTL") == 3 and blob.count(b"fdAT") == 2
+    # single frame degrades to a plain PNG
+    p2 = tmp_path / "s.png"
+    write_apng(str(p2), frames[:1])
+    assert b"acTL" not in p2.read_bytes()
+
+    # the map animation keeps one global color range across frames
+    rasters = [np.where(np.isclose(hill_dem, NODATA), NODATA, float(v))
+               for v in (0.0, 0.5, 1.0)]
+    n = animate_maps(str(tmp_path / "m.png"), hill_dem, 10.0, rasters,
+                     target_width=120)
+    assert n == 3
+
+
 # ----------------------------------------------------------------- cli
 
 
