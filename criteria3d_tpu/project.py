@@ -41,7 +41,7 @@ from criteria3d_tpu.core.geo import latlon_to_utm
 from criteria3d_tpu.core.grid import BoundaryType, Grid, build_soil_layers
 from criteria3d_tpu.core.meteo import (QUALITY_RANGES, ClimateParameters,
                                        MeteoStation, MeteoVariable)
-from criteria3d_tpu.core.soil import SoilFields
+from criteria3d_tpu.core.soil import SoilFields, theta_from_se
 from criteria3d_tpu.core.state import SolverParameters
 from criteria3d_tpu.io.config import ProjectConfig, load_project_ini
 from criteria3d_tpu.io.database import SoilProfile, read_crop_db, \
@@ -783,6 +783,63 @@ class Criteria3DProject:
         for e in log:
             e["mbr"] = float(e["mbr"])
         return log
+
+    def write_report(self, path: str, log: list | None = None) -> None:
+        """Standalone HTML report of the current project state (the GUI
+        dashboard's role, headless — viz/report.py): shaded terrain map
+        with stations, oblique 3-D view, root-zone water content and
+        ponding maps, plus the period's MBR trace when a ``run_period``
+        log is passed."""
+        from criteria3d_tpu.solver import water as W
+        from criteria3d_tpu.viz import (HtmlReport, line_chart, render_map,
+                                        render_surface3d)
+        valid = ~np.isclose(self.dem, self.header.nodata)
+        dem = np.where(valid, self.dem, NODATA)
+        rep = HtmlReport(f"{self.config.name} — run report")
+        rep.section("Terrain")
+        rep.figure(render_map(dem, header=self.header,
+                              points=self.stations or None, title="DEM"),
+                   "Slope-shaded DEM with meteo stations")
+        rep.figure(render_surface3d(dem, self.header.cellsize,
+                                    rotation_deg=20.0),
+                   "Oblique 3-D view")
+        if self.model is not None:
+            g = self.grid
+            se = W.compute_se(g, self.params, self.model.water.h)
+            theta = theta_from_se(g.soil, se)
+            m = np.asarray(g.mask[1:], bool)
+            th = np.asarray(theta[1:])
+            swc = np.where(m.any(0), (th * m).sum(0)
+                           / np.maximum(m.sum(0), 1), NODATA)
+            pond = np.where(np.asarray(g.mask[0]),
+                            np.asarray(self.model.water.surface_water_level(g))
+                            * 1000.0, NODATA)
+            rep.section("State maps")
+            rep.figure(render_map(dem, header=self.header, overlay=swc,
+                                  overlay_scale="surface_water",
+                                  title="ROOT-ZONE WATER CONTENT"),
+                       "Root-zone volumetric water content [m3 m-3]")
+            rep.figure(render_map(dem, header=self.header, overlay=pond,
+                                  overlay_scale="surface_water",
+                                  title="PONDING [MM]"),
+                       "Surface water level [mm]")
+            twc = float(W.total_water_content(g, self.params,
+                                              self.model.water.h,
+                                              self.model.water.se))
+            rep.section("State")
+            rep.table([["grid", f"{g.shape}"], ["nodes", g.n_nodes],
+                       ["total water content [m3]", f"{twc:.2f}"]],
+                      header=["quantity", "value"])
+        if log:
+            t = [datetime.datetime.fromisoformat(e["time"]) for e in log]
+            mbr = [abs(float(e["mbr"])) for e in log]
+            rep.section("Mass balance")
+            rep.figure(line_chart({"ABS MBR": (t, mbr)},
+                                  title="HOURLY MASS BALANCE RATIO",
+                                  ylabel="ABS MBR"),
+                       "Per-hour |mass balance ratio| (acceptance gate 1e-3)")
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        rep.write(path)
 
     def flush_outputs(self) -> None:
         """Drain the async raster-writer queue (no-op when unused)."""

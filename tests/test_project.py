@@ -157,6 +157,13 @@ def test_montue_six_hours(montue):
     log = montue.run_period(start, 6)
     assert len(log) == 6
 
+    # HTML run report renders from the live state (viz/report.py)
+    rep_path = os.path.join(montue.output_dir, "report.html")
+    montue.write_report(rep_path, log=log)
+    html = open(rep_path).read()
+    assert html.count("data:image/png;base64,") >= 5
+    assert "total water content [m3]" in html
+
     # interpolation actually ran: the temperature map varies with elevation
     f = montue.run_hour(start + datetime.timedelta(hours=6),
                         write_outputs=False)["forcing"]
