@@ -30,9 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+from criteria3d_tpu.utils.jaxcache import machine_cache_dir  # noqa: E402
+
+# per-machine cache scope: XLA:CPU AOT entries embed the compile host's
+# CPU features and mis-load (crash or silently wrong results) on another
+# host; see criteria3d_tpu/utils/jaxcache.py
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
+                  machine_cache_dir(os.path.join(
+                      os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp

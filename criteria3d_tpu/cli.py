@@ -441,6 +441,10 @@ class Shell:
             self._print("INITIALIZE first.")
             return
         path, hours = args[0], int(args[1])
+        if hours < 1:
+            self._print("Usage: ANIM <out.png> <hours> [swc|pond] "
+                        "[rain_mm_h] — hours must be >= 1")
+            return
         var = args[2].lower() if len(args) > 2 else "pond"
         rain = float(args[3]) if len(args) > 3 else 5.0
         shape = self.grid.shape[1:]

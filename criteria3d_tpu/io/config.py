@@ -64,8 +64,12 @@ class ProjectConfig:
     crop_db_path: str = ""
     output_points_path: str = ""
     output_db_path: str = ""
+    # VINE3D: fields/cultivar/training/field-book DB
+    # (VINE3D_test.ini [project] vine3d_db; vine3DProject.cpp:151)
+    vine3d_db_path: str = ""
     # [simulation]
     compute_heat: bool = False
+    compute_diseases: bool = True
     # [output] depth lists [cm]
     output_water_content_depths: tuple = ()
     output_water_potential_depths: tuple = ()
@@ -143,6 +147,7 @@ def load_project_ini(path: str) -> ProjectConfig:
         cfg.crop_db_path = rel(prj.get("crop_db", ""))
         cfg.output_points_path = rel(prj.get("output_points", ""))
         cfg.output_db_path = rel(prj.get("output_db", ""))
+        cfg.vine3d_db_path = rel(prj.get("vine3d_db", ""))
 
     if cp.has_section("simulation"):
         cfg.compute_heat = cp["simulation"].getboolean("compute_heat", False)
@@ -157,6 +162,8 @@ def load_project_ini(path: str) -> ProjectConfig:
             _parse_list(out.get("factorofsafety", "")))
 
     if cp.has_section("settings"):
+        cfg.compute_diseases = cp["settings"].getboolean(
+            "compute_diseases", cfg.compute_diseases)
         params_file = cp["settings"].get("parameters_file", "")
         if params_file:
             params_path = os.path.normpath(os.path.join(cfg.path, params_file))

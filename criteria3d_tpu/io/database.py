@@ -203,8 +203,13 @@ def read_soil_db(path: str, fitting: bool = True) -> dict[str, SoilProfile]:
                     h.vg_alpha, h.vg_n, h.theta_r, h.theta_s = fit
 
             horizons.append(h)
-        soils[code] = SoilProfile(id_soil=id_soil, code=code,
-                                  name=name or code, horizons=horizons)
+        # several id_soil rows may share one soil_code (the VINE3D_test DB
+        # maps 7 map units onto 4 profiles); every id_soil must survive so
+        # the soil map's id -> profile join resolves (setSoilIndexMap keys
+        # by id_soil, project3D.cpp:736-742)
+        key = code if code not in soils else f"{code}#{id_soil}"
+        soils[key] = SoilProfile(id_soil=id_soil, code=code,
+                                 name=name or code, horizons=horizons)
     db.close()
     return soils
 

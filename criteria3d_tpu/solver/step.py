@@ -684,7 +684,12 @@ def compute_period_stats(grid: Grid, params: SolverParameters,
     d_whole = cur.storage - whole.storage
     per_mbe = d_period - per.sink_source
     whole_mbe = d_whole - whole_sink
-    ref = jnp.maximum(0.001, whole_sink)
+    # reference quirk: updateWaterBalanceDataWholePeriod (water.cpp:152)
+    # omits the fabs() its per-step twin applies (water.cpp:118), so a
+    # drainage-dominated period (net NEGATIVE sink) clamps the denominator
+    # to 0.001 m3 and the whole-period MBR explodes by ~6 orders of
+    # magnitude. We use |sink| (DEVIATIONS #30).
+    ref = jnp.maximum(0.001, jnp.abs(whole_sink))
     whole_mbr = whole_mbe / ref
 
     state = dataclasses.replace(

@@ -103,6 +103,16 @@ class Vine3DModel:
     max_irrigation_rate: float = 2.0         # [mm h-1]
     grass_lai: float = 1.0
     training: gv.TrainingSystem | None = None
+    # cultivar Wang-Leuning block from the fields DB (hydrall_* columns,
+    # vine3DProject.cpp:252-261); None = defaults
+    wang_leuning: object | None = None
+    # cells where the model case is a vineyard (isVineyard,
+    # vine3DProject.cpp:1410-1413); None = everywhere. Non-vineyard cells
+    # keep the inter-row grass + bare-soil fluxes only.
+    vineyard_mask: jax.Array | None = None
+    # ini [settings] compute_diseases (VINE3D_test.ini; the reference app
+    # gates computeDiseases in modelDailyCycle)
+    compute_diseases: bool = True
     vine_root_density: jax.Array | None = None    # (L,) cardioid profile
     grass_root_density: jax.Array | None = None   # (L,) trapezoid profile
     water_stress_threshold: float = 0.4      # cultivar FTSW saw threshold
@@ -258,7 +268,7 @@ class Vine3DModel:
             stress_profile=saw_profile,
             root_density=self.vine_root_density[:, None, None],
             year=year, doy=doy,
-            params=vp.WangLeuningParameters(
+            params=self.wang_leuning or vp.WangLeuningParameters(
                 water_stress_threshold=self.water_stress_threshold),
             stage=self.vine.stage)
 
@@ -352,8 +362,10 @@ class Vine3DModel:
         # ---- grapevine photosynthesis / per-layer stomatal transpiration
         doy = date.timetuple().tm_yday
         fluxes = self._grapevine_fluxes(forcing, rad, saw, year, doy)
+        vy = valid if self.vineyard_mask is None \
+            else (valid & self.vineyard_mask)
         self._assim_gm2 = self._assim_gm2 + jnp.where(
-            valid, fluxes["assimilation_g"], 0.0)
+            vy, fluxes["assimilation_g"], 0.0)
         out["vine_transpiration_demand"] = fluxes["transpiration_mm"]
 
         # vine: the kernel's per-layer transpiration IS the extraction
@@ -363,6 +375,10 @@ class Vine3DModel:
         avail_mm = jnp.maximum(theta - theta_wp, 0.0) * thick * 1000.0
         layer_v = jnp.minimum(fluxes["transpiration_layer_mm"], avail_mm)
         layer_v = jnp.where(grid.mask, layer_v, 0.0).at[0].set(0.0)
+        if self.vineyard_mask is not None:
+            # grapevine runs only on vineyard model cases
+            # (modelDailyCycle gates on isVineyard, modelCore.cpp:219)
+            layer_v = jnp.where(self.vineyard_mask[None], layer_v, 0.0)
         sink_v = -grid.area * (layer_v / 1000.0) / HOUR_SECONDS
         act_v = jnp.sum(layer_v, axis=0)
 
@@ -393,13 +409,15 @@ class Vine3DModel:
         out["irrigation"] = irr_mm
 
         # ---- hourly downy mildew (computeDiseases; downyMildew.cpp)
-        self.downy, dm_out = downy_mildew_step(
-            self.downy, DownyMildewInput(
-                tair=forcing.air_temperature, rain=forcing.precipitation,
-                leaf_wetness=leaf_wetness,
-                relative_humidity=forcing.rel_humidity),
-            is_first_january=(month == 1 and day == 1 and hour == 0))
-        out["downy_mildew_infection"] = dm_out["is_infection"]
+        if self.compute_diseases:
+            self.downy, dm_out = downy_mildew_step(
+                self.downy, DownyMildewInput(
+                    tair=forcing.air_temperature,
+                    rain=forcing.precipitation,
+                    leaf_wetness=leaf_wetness,
+                    relative_humidity=forcing.rel_humidity),
+                is_first_january=(month == 1 and day == 1 and hour == 0))
+            out["downy_mildew_infection"] = dm_out["is_infection"]
 
         # ---- daily accumulators: per-cell temperature MAPS (the reference
         # VINE3D drives phenology from the hourly temperature maps per
@@ -441,23 +459,23 @@ class Vine3DModel:
             stress_coefficient=jnp.maximum(1.0 - self.stress, 0.0))
         self.vine = gv.fruit_biomass_step(self.vine, p, self._assim_gm2)
 
-        bud_break = bool(jnp.any(
-            (self.vine.stage >= gv.Stage.BUD_BURST)
-            & (self.vine.stage < gv.Stage.BUD_BURST + 0.05)))
-        self.powdery, pm_out = powdery_mildew_step(
-            self.powdery, tavg=tavg, rain=self._rain_mm,
-            leaf_wetness=jnp.minimum(self._wet_hours, 24.0),
-            relative_humidity=self._rh_sum / n,
-            is_bud_break=bud_break)
-
         from criteria3d_tpu.model import masked_mean
         out = dict(tavg=tavg,
                    tavg_mean=masked_mean(tavg, self.grid.mask[0]),
                    stage=self.vine.stage,
                    lai=self.vine.lai,
                    fruit_biomass=self.vine.fruit_biomass,
-                   tartaric_acid=gv.tartaric_acid(self.vine),
-                   powdery_infection_risk=pm_out["infection_risk"])
+                   tartaric_acid=gv.tartaric_acid(self.vine))
+        if self.compute_diseases:
+            bud_break = bool(jnp.any(
+                (self.vine.stage >= gv.Stage.BUD_BURST)
+                & (self.vine.stage < gv.Stage.BUD_BURST + 0.05)))
+            self.powdery, pm_out = powdery_mildew_step(
+                self.powdery, tavg=tavg, rain=self._rain_mm,
+                leaf_wetness=jnp.minimum(self._wet_hours, 24.0),
+                relative_humidity=self._rh_sum / n,
+                is_bud_break=bud_break)
+            out["powdery_infection_risk"] = pm_out["infection_risk"]
         # reset accumulators
         shape2d = self.grid.shape[1:]
         self._tsum, self._tmin, self._tmax, self._nhours = 0.0, 1e9, -1e9, 0

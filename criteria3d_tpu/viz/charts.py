@@ -147,8 +147,20 @@ def line_chart(series, *, title: str = "", xlabel: str = "",
     xs_all, ys_all, fmt = [], [], (lambda v: f"{v:.4g}")
     ticks = None
     parsed = {}
+    x_is_time = None
     for name, (x, y) in series.items():
-        xv, fmt, ticks = _to_float_x(x)
+        xv, s_fmt, s_ticks = _to_float_x(x)
+        s_is_time = s_ticks is _time_ticks
+        if x_is_time is None:
+            # axis formatter/ticks come from the FIRST series; every later
+            # series must have the same x type or the axis would silently
+            # mislabel (e.g. datetimes rendered on a numeric scale)
+            x_is_time, fmt, ticks = s_is_time, s_fmt, s_ticks
+        elif s_is_time != x_is_time:
+            raise ValueError(
+                f"line_chart: series {name!r} has "
+                f"{'datetime' if s_is_time else 'numeric'} x but earlier "
+                f"series use {'datetime' if x_is_time else 'numeric'} x")
         yv = np.asarray(y, np.float64)
         parsed[name] = (xv, yv)
         xs_all.append(xv)

@@ -91,9 +91,9 @@ def render_map(dem: np.ndarray, cell_size: float = 1.0, *, header=None,
         o_valid = np.isfinite(ov) & ~np.isclose(ov, nodata)
         vals = ov[o_valid]
         lo = float(vals.min()) if vals.size and overlay_vmin is None \
-            else (overlay_vmin or 0.0)
+            else (overlay_vmin if overlay_vmin is not None else 0.0)
         hi = float(vals.max()) if vals.size and overlay_vmax is None \
-            else (overlay_vmax or 1.0)
+            else (overlay_vmax if overlay_vmax is not None else 1.0)
         ov_rgba = render_rgba(ov, overlay_scale, vmin=lo, vmax=hi,
                               nodata=nodata)
         ov_rgba[..., 3] = (ov_rgba[..., 3].astype(np.float64)
@@ -122,7 +122,11 @@ def render_map(dem: np.ndarray, cell_size: float = 1.0, *, header=None,
             col = (x - header.xllcorner) / header.cellsize - 0.5
             row = header.nrows - 1 - ((y - header.yllcorner)
                                       / header.cellsize - 0.5)
-            px, py = int(round(col * zoom)), int(round(row * zoom)) + top
+            # map to the CENTER of the zoomed k-by-k pixel block, not its
+            # NW corner — at high zoom the corner drifts ~k/2 px northwest
+            # of the georeferenced cell
+            px = int(round((col + 0.5) * zoom - 0.5))
+            py = int(round((row + 0.5) * zoom - 0.5)) + top
             cv.marker(px, py, (220, 40, 40), size=7, shape="circle")
             if label:
                 cv.text(px + 6, py - 3, str(label), scale=1)

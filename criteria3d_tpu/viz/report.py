@@ -75,6 +75,10 @@ class HtmlReport:
     def figure(self, canvas, caption: str = "") -> "HtmlReport":
         """Embed a viz Canvas (or raw (H, W, 4) uint8 array) inline."""
         rgba = canvas.rgba if hasattr(canvas, "rgba") else np.asarray(canvas)
+        if rgba.ndim != 3 or rgba.shape[-1] != 4:
+            raise ValueError(
+                f"figure: expected (H, W, 4) RGBA array, got {rgba.shape}")
+        rgba = np.ascontiguousarray(np.clip(rgba, 0, 255).astype(np.uint8))
         b64 = base64.b64encode(_png_bytes(rgba)).decode("ascii")
         cap = (f"<figcaption>{html.escape(caption)}</figcaption>"
                if caption else "")

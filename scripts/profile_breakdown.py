@@ -27,7 +27,10 @@ sys.path.insert(0, REPO)
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+from criteria3d_tpu.utils.jaxcache import machine_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  machine_cache_dir(os.path.join(REPO, ".jax_cache")))
 
 import jax.numpy as jnp
 import numpy as np

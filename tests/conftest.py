@@ -20,13 +20,40 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the solver-step programs take minutes to
 # compile on this 2-core host; cache them across pytest processes.
-# NB a SEPARATE directory from bench.py's .jax_cache: entries written by
-# TPU-session processes carry different CPU machine features and
-# deserializing them on this host can SIGSEGV inside the XLA AOT loader
-# (observed: cpu_aot_loader 'machine type doesn't match' warnings, then a
-# segfault in compilation_cache.get_executable_and_time).
+# Two scoping rules, both load-bearing:
+# * a SEPARATE tree from bench.py's .jax_cache — entries written by
+#   TPU-session processes don't mix with CPU-backend ones;
+# * a per-MACHINE subdirectory (utils/jaxcache.py) — XLA:CPU AOT entries
+#   embed the compile host's CPU features, and loading one compiled on a
+#   different host SIGSEGVs in the cache read, SIGABRTs in
+#   backend_compile_and_load, or silently executes wrong (all three
+#   observed when driver rounds land on different machines).
+from criteria3d_tpu.utils.jaxcache import machine_cache_dir  # noqa: E402
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache_tests"))
+    machine_cache_dir(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache_tests")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables_between_modules():
+    """Drop compiled XLA executables after each test module.
+
+    A single-process run of the full suite compiles ~300 programs on the
+    8-virtual-device CPU backend; the accumulated loaded executables
+    eventually crash XLA itself (observed: SIGSEGV in the compilation-cache
+    read path and SIGABRT inside ``backend_compile_and_load`` around test
+    ~276 of 309). Recompiles after the flush are cheap because the
+    persistent on-disk cache above survives ``jax.clear_caches()`` — only
+    the in-memory executable handles are released.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
