@@ -229,6 +229,43 @@ def main():
         coupled_wall_s = srt_h[len(srt_h) // 2] if len(srt_h) % 2 else \
             0.5 * (srt_h[0] + srt_h[1])
 
+    # --- Pallas shard_map leg, compiled on this chip (VERDICT r4 next-round
+    # item 4): the designated multi-chip sweep path (solver/pallas_jacobi.py)
+    # must touch the real device every round, not only the CPU-mesh
+    # interpret-mode dryrun. A (1, 1) mesh still exercises the full
+    # shard_map + halo-exchange + psum'd-norm program — the same code that
+    # partitions over ICI at N devices — with the kernel compiled natively
+    # (interpret mode only auto-engages off-TPU). Skipped when the main
+    # metric already IS the Pallas path (BENCH_PALLAS=1) or BENCH_PALLAS_LEG=0.
+    pallas_wall_s = None
+    if os.environ.get("BENCH_PALLAS_LEG", "1") == "1" and not use_pallas:
+        from jax.sharding import Mesh
+
+        pmesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                     ("row", "col"))
+        pparams = SolverParameters.fast_f32(
+            use_pallas=True, inner_solver="jacobi", mesh=pmesh)
+        pstate = init_state(grid, pparams)
+        jax.block_until_ready(pstate.h)
+        t0 = time.time()
+        pcompiled = compute_period_stats.lower(
+            grid, pparams, pstate, 3600.0).compile()
+        pallas_compile_s = time.time() - t0
+        pruns = []
+        pallas_mbr = None
+        for attempt in range(3):
+            t0 = time.time()
+            p_out, p_stats = pcompiled(grid, pstate, 3600.0)
+            pallas_mbr = float(p_out.balance_whole.mbr)
+            p_sweeps = int(p_stats[3])
+            pruns.append(time.time() - t0)
+            srt_p = sorted(pruns)
+            if len(pruns) >= 2 and srt_p[1] <= srt_p[0] * 1.05:
+                break
+        srt_p = sorted(pruns)
+        pallas_wall_s = srt_p[len(srt_p) // 2] if len(srt_p) % 2 else \
+            0.5 * (srt_p[0] + srt_p[1])
+
     result = {
         "metric": "ravone_wallclock_s_per_sim_hour",
         "value": round(wall_s, 3),
@@ -248,6 +285,13 @@ def main():
         "runs_s": [round(r, 3) for r in runs],
         "platform": jax.devices()[0].platform,
     }
+    if pallas_wall_s is not None:
+        result["pallas_wall_s"] = round(pallas_wall_s, 3)
+        result["pallas_mbr"] = pallas_mbr
+        result["pallas_sweeps_per_hour"] = p_sweeps
+        result["pallas_runs_s"] = [round(r, 3) for r in pruns]
+        result["pallas_compile_s"] = round(pallas_compile_s, 1)
+        result["pallas_compiled_on"] = jax.devices()[0].platform
     if coupled_wall_s is not None:
         result["coupled_heat_wall_s"] = round(coupled_wall_s, 3)
         result["coupled_vs_water_ratio"] = round(coupled_wall_s / wall_s, 2)
