@@ -143,19 +143,28 @@ class Grid:
         )
 
     def set_prescribed(self, layer: int, row: int, col: int,
-                       total_potential: float) -> "Grid":
+                       total_potential: float,
+                       boundary_size: float | None = None) -> "Grid":
         """Mark node (layer, row, col) as a prescribed-total-potential
         boundary (soilFluxes3D.cpp setPrescribedTotalPotential analogue).
 
         Flips ``has_prescribed`` alongside ``btype`` so the trace-time gate
         that elides the prescribed-boundary conductance math stays
         consistent — setting btype via ``dataclasses.replace`` alone would
-        silently zero the boundary rate.
+        silently zero the boundary rate. ``boundary_size`` is the boundary
+        face area [m2] (the reference's setNode boundarySize argument);
+        default = the cell area, matching the bottom free-drainage face.
+        Without it a node whose Grid.build left bsize at 0 (e.g. the bottom
+        layer with ``free_bottom_drainage=False``) would carry an inert
+        boundary: btype set but zero flux.
         """
+        if boundary_size is None:
+            boundary_size = float(self.area)
         return dataclasses.replace(
             self,
             btype=self.btype.at[layer, row, col].set(
                 BoundaryType.PRESCRIBED_TOTAL_POTENTIAL),
+            bsize=self.bsize.at[layer, row, col].set(boundary_size),
             prescribed_h=self.prescribed_h.at[layer, row, col].set(
                 total_potential),
             has_prescribed=True,
