@@ -18,7 +18,15 @@ Writes BASELINE_REF.json at the repo root:
     {"coarsen": N, "n_nodes": ..., "ref_wall_s_per_hour": ...,
      "ref_threads": 2, "ref_wall_s_per_node_hour": ...}
 
-Usage:  python scripts/reference_bench.py [coarsen] [hours]
+With ``--heat`` the export additionally enables the reference's coupled
+heat process (vapor on, advection off — advection NaNs upstream, see
+tests/test_heat_parity.py) under the exact atmospheric forcing bench.py's
+coupled leg uses, anchoring ``coupled_heat_wall_s`` and
+``coupled_heat_mbr``: results land under ``heat_levels`` in
+BASELINE_REF.json as ``ref_coupled_wall_s_per_hour`` and
+``ref_whole_period_heat_mbr`` (VERDICT r4 next-round item 3a).
+
+Usage:  python scripts/reference_bench.py [coarsen] [hours] [--heat]
 """
 
 import json
@@ -41,8 +49,10 @@ jax.config.update("jax_platforms", "cpu")
 
 
 def main():
-    coarsen = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    hours = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    args = [a for a in sys.argv[1:] if a != "--heat"]
+    with_heat = "--heat" in sys.argv[1:]
+    coarsen = int(args[0]) if len(args) > 0 else 4
+    hours = int(args[1]) if len(args) > 1 else 1
     threads = os.cpu_count() or 2
 
     import bench
@@ -57,6 +67,27 @@ def main():
     print(f"building Ravone grid (coarsen={coarsen}) ...", flush=True)
     grid = bench.build_grid(coarsen)
     params = SolverParameters()
+    heat_cfg = None
+    if with_heat:
+        # the same hgrid transform + atmospheric forcing as bench.py's
+        # coupled leg: every valid layer-1 node is an atmospheric
+        # HeatSurface boundary
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from criteria3d_tpu.core.grid import BoundaryType
+        grid = dataclasses.replace(
+            grid,
+            btype=grid.btype.at[1].set(jnp.where(
+                grid.mask[1], int(BoundaryType.HEAT_SURFACE),
+                grid.btype[1])),
+            bsize=grid.bsize.at[1].set(jnp.where(
+                grid.mask[1], float(grid.area), grid.bsize[1])))
+        heat_cfg = dict(vapor=1, advection=0, initial_t=288.15,
+                        air_t=291.15, rel_humidity=85.0, wind=3.0,
+                        net_irradiance=80.0)
+
     mask = np.asarray(grid.mask)
     z = np.asarray(grid.z)
     psi0 = np.full(mask.shape, -2.0)
@@ -65,11 +96,12 @@ def main():
     sink = np.zeros(mask.shape)
     sink[0][mask[0]] = rain
 
-    topo = os.path.join(build_dir, f"ravone_c{coarsen}.topo")
-    out = os.path.join(build_dir, f"ravone_c{coarsen}.out")
+    tag = f"ravone_c{coarsen}" + ("_heat" if with_heat else "")
+    topo = os.path.join(build_dir, f"{tag}.topo")
+    out = os.path.join(build_dir, f"{tag}.out")
     print(f"exporting topology ({int(mask.sum())} nodes) ...", flush=True)
     t0 = time.time()
-    export_topology(topo, grid, psi0, sink, params, hours)
+    export_topology(topo, grid, psi0, sink, params, hours, heat=heat_cfg)
     print(f"export: {time.time() - t0:.0f}s", flush=True)
 
     print(f"running reference solver ({threads} threads, {hours}h) ...",
@@ -87,10 +119,13 @@ def main():
     n_nodes = grid.n_nodes
 
     mbr = None
+    heat_mbr = None
     with open(out) as f:
         for line in f:
             if line.startswith("HOUR"):
                 mbr = float(line.split()[2])
+            elif line.startswith("HEATMBR"):
+                heat_mbr = float(line.split()[2])
 
     result = {
         "coarsen": coarsen,
@@ -103,6 +138,9 @@ def main():
         "ref_whole_period_mbr": mbr,
         "ref_build": "agrolib/soilFluxes3D @ v1.3.3, g++ -O2 -fopenmp",
     }
+    if with_heat:
+        result["ref_coupled_wall_s_per_hour"] = round(wall, 3)
+        result["ref_whole_period_heat_mbr"] = heat_mbr
     path = os.path.join(REPO, "BASELINE_REF.json")
     data = {}
     if os.path.exists(path):
@@ -111,7 +149,8 @@ def main():
         data = prev if "levels" in prev else {"levels": {str(prev["coarsen"]): prev}}
     else:
         data = {"levels": {}}
-    data.setdefault("levels", {})[str(coarsen)] = result
+    data.setdefault("heat_levels" if with_heat else "levels",
+                    {})[str(coarsen)] = result
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
     print(json.dumps(result))

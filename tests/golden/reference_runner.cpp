@@ -319,9 +319,14 @@ int main(int argc, char** argv) {
         std::fprintf(out, "HOUR %u %.17g\n", h, getWaterMBR());
         for (unsigned i = 0; i < n; ++i)
             std::fprintf(out, "%u %.17g\n", i, getNodeTotalPotential(i));
-        if (withHeat)
+        if (withHeat) {
+            // whole-period heat mass-balance ratio: the reference-side
+            // anchor for bench.py's coupled_heat_mbr
+            // (updateHeatBalanceDataWholePeriod, heat.cpp:400-410)
+            std::fprintf(out, "HEATMBR %u %.17g\n", h, getHeatMBR());
             for (unsigned i = nSurf; i < n; ++i)
                 std::fprintf(out, "T %u %.17g\n", i, getNodeTemperature(i));
+        }
     }
     std::fclose(out);
     cleanSF3D();

@@ -89,7 +89,8 @@ def run_both(grid, params, psi0, sink, hours, tmp_path, name,
     # the reference's heat-ADVECTION path NaNs, see
     # test_reference_advection_is_broken_upstream)
     for h in range(hours):
-        ref_vals = [v for k, v in ref[h].items() if k != "T"]
+        ref_vals = [v for k, v in ref[h].items()
+                    if k not in ("T", "HEATMBR")]
         ref_tvals = list(ref[h].get("T", {}).values())
         assert np.isfinite(ref_vals).all() and np.isfinite(ref_tvals).all(), \
             f"reference produced non-finite output at hour {h}"

@@ -60,6 +60,8 @@ def run_reference(topo_path, out_path):
             elif parts[0] == "T":
                 hours[current].setdefault("T", {})[int(parts[1])] = \
                     float(parts[2])
+            elif parts[0] == "HEATMBR":
+                hours[current]["HEATMBR"] = float(parts[2])
             else:
                 hours[current][int(parts[0])] = float(parts[1])
     return hours
