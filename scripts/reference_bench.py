@@ -26,7 +26,16 @@ coupled leg uses, anchoring ``coupled_heat_wall_s`` and
 BASELINE_REF.json as ``ref_coupled_wall_s_per_hour`` and
 ``ref_whole_period_heat_mbr`` (VERDICT r4 next-round item 3a).
 
-Usage:  python scripts/reference_bench.py [coarsen] [hours] [--heat]
+With ``--fields`` the run becomes a CATCHMENT-SCALE FIELD-PARITY check
+(VERDICT r4 next-round item 2): after every simulated hour the per-node
+total potential of the reference solve is compared against our solver's
+f64 parity path and the fast_f32 production path on the same problem
+(real Ravone DEM mask edges + DEM-derived lateral boundary map — the
+structures that only appear at scale; the toy-scale parity suites stop
+at 48x48 hillslopes).  Results land under ``field_parity`` in
+BASELINE_REF.json: per-hour max |dH| for both paths.
+
+Usage:  python scripts/reference_bench.py [coarsen] [hours] [--heat|--fields]
 """
 
 import json
@@ -48,9 +57,71 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def run_ours(grid, params, sink, hours, progress=""):
+    """Run our solver for ``hours`` 1-hour periods; return per-hour H
+    fields gathered to the reference's node indexing."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from criteria3d_tpu import WaterState
+    from criteria3d_tpu.solver.step import compute_period, initialize_balance
+
+    state = WaterState.initialize(grid, params, matric_potential=-2.0)
+    state = initialize_balance(grid, params, state)
+    state = dataclasses.replace(state, sink_source=jnp.asarray(sink))
+    fields = []
+    for h in range(hours):
+        t0 = time.time()
+        state = compute_period(grid, params, state, 3600.0)
+        fields.append(np.asarray(state.h))
+        print(f"  ours{progress} hour {h}: {time.time() - t0:.0f}s",
+              flush=True)
+    return fields, float(state.balance_whole.mbr)
+
+
+def field_parity(grid, sink, hours, topo, out, runner, threads):
+    """Compare per-node total potential: reference vs f64 vs fast_f32."""
+    from criteria3d_tpu import SolverParameters
+
+    mask = np.asarray(grid.mask)
+    # parse the reference's per-hour dumps (reference_runner output)
+    ref_hours = {}
+    current = None
+    with open(out) as f:
+        for line in f:
+            parts = line.split()
+            if parts[0] == "HOUR":
+                current = int(parts[1])
+                ref_hours[current] = np.full(int(mask.sum()), np.nan)
+            elif parts[0] not in ("T", "HEATMBR"):
+                ref_hours[current][int(parts[0])] = float(parts[1])
+
+    # node-index map: export_topology numbers surface nodes first, then
+    # soil nodes, in the same (layer, row, col) scan order both sides use
+    from tests.golden.export_topology import node_index_map
+    idx = node_index_map(grid)
+
+    result = {}
+    for name, params in (
+            ("f64", SolverParameters()),
+            ("fast_f32", SolverParameters.fast_f32())):
+        fields, mbr = run_ours(grid, params, sink, hours,
+                               progress=f"[{name}]")
+        errs = []
+        for h in range(hours):
+            ours = fields[h][mask]
+            ref = ref_hours[h][idx[mask]]
+            errs.append(float(np.abs(ours - ref).max()))
+        result[name] = {"max_abs_dh_per_hour_m": errs, "whole_mbr": mbr}
+        print(f"  {name}: max|dH| per hour = {errs}", flush=True)
+    return result
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "--heat"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     with_heat = "--heat" in sys.argv[1:]
+    with_fields = "--fields" in sys.argv[1:]
     coarsen = int(args[0]) if len(args) > 0 else 4
     hours = int(args[1]) if len(args) > 1 else 1
     threads = os.cpu_count() or 2
@@ -91,6 +162,18 @@ def main():
     mask = np.asarray(grid.mask)
     z = np.asarray(grid.z)
     psi0 = np.full(mask.shape, -2.0)
+    # surface nodes start DRY, pond = 0 (initializeWaterContent semantics,
+    # project3D.cpp:1104-1158) — exactly what WaterState.initialize's
+    # surface clamp produces on our side.  Exporting raw -2.0 for surface
+    # nodes hands the reference an unphysical 2 m phantom pond DEFICIT
+    # (setNodeMatricPotential does not clamp surface H,
+    # soilFluxes3D.cpp:842-884): its first step then reports MBR ~ -1.0
+    # (rain fills the deficit without entering storage), collapses dt to
+    # 1 s, and erases the deficit through the Jacobi surface clamp —
+    # nothing the TPU side simulates.  The toy parity cases always did
+    # this (tests/test_reference_parity.py:80); the benchmark export
+    # missed it until round 5.
+    psi0[0] = 0.0
     # 20 mm/h storm on the surface (same sink bench.py applies)
     rain = 0.020 * float(np.asarray(grid.area)) / 3600.0
     sink = np.zeros(mask.shape)
@@ -141,6 +224,11 @@ def main():
     if with_heat:
         result["ref_coupled_wall_s_per_hour"] = round(wall, 3)
         result["ref_whole_period_heat_mbr"] = heat_mbr
+    if with_fields:
+        print("field parity: running our solver on the same problem ...",
+              flush=True)
+        result["field_parity"] = field_parity(grid, sink, hours, topo, out,
+                                              runner, threads)
     path = os.path.join(REPO, "BASELINE_REF.json")
     data = {}
     if os.path.exists(path):
@@ -149,8 +237,9 @@ def main():
         data = prev if "levels" in prev else {"levels": {str(prev["coarsen"]): prev}}
     else:
         data = {"levels": {}}
-    data.setdefault("heat_levels" if with_heat else "levels",
-                    {})[str(coarsen)] = result
+    section = ("field_parity" if with_fields else
+               "heat_levels" if with_heat else "levels")
+    data.setdefault(section, {})[str(coarsen)] = result
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
     print(json.dumps(result))

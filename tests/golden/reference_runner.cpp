@@ -257,6 +257,10 @@ int main(int argc, char** argv) {
     check(initializeBalance(), "initializeBalance");
 
     const bool debugDt = std::getenv("REF_DEBUG_DT") != nullptr;
+    // light trace: only the accepted dt sequence + per-step water MBR
+    // (REF_DEBUG_DT dumps full per-step state — prohibitive at
+    // catchment scale)
+    const bool dtOnly = std::getenv("REF_DT_ONLY") != nullptr;
     for (unsigned h = 0; h < hours; ++h) {
         if (! schedule.empty()) {
             // per-hour sink multiplier (storm-then-drainage soak scenarios)
@@ -306,6 +310,14 @@ int main(int argc, char** argv) {
                     for (unsigned i = nSurf; i < n; ++i)
                         std::fprintf(stderr, "ST %u %.17g\n", i,
                                      getNodeTemperature(i));
+            }
+        } else if (dtOnly) {
+            double sum = 0.0;
+            while (sum < 3600.0) {
+                double dt = computeStep(3600.0 - sum);
+                sum += dt;
+                std::fprintf(stderr, "DTO %.17g %.17g %.17g\n", dt,
+                             nodeGrid.CourantWater, getWaterMBR());
             }
         } else {
             auto t0 = std::chrono::steady_clock::now();
