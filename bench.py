@@ -179,7 +179,13 @@ def main():
         from criteria3d_tpu.solver import heat as H
         from criteria3d_tpu.solver.coupled import compute_period_coupled
 
-        hparams = _dc.replace(params, heat_vapor=True)
+        hparams = _dc.replace(
+            params, heat_vapor=True,
+            # chunk-frozen property evaluation (measured envelope ~6 mK/h
+            # vs the exact-per-substep fast path on the parity column —
+            # tests/test_coupled.py::test_frozen_props_envelope);
+            # BENCH_HEAT_FROZEN=0 restores per-substep properties
+            heat_frozen_props=os.environ.get("BENCH_HEAT_FROZEN", "1") == "1")
 
         @partial(jax.jit, static_argnames=("p",))
         def init_heat(g, p, w):

@@ -44,6 +44,19 @@ class SolverParameters:
     # adds rain/evaporation advected heat to the surface boundary.
     heat_vapor: bool = False
     heat_advection: bool = False
+    # Coupled-driver fast path: evaluate the T-dependent soil thermal
+    # properties (capacity, de Vries/Campbell conductivity, vapor
+    # conductivities, the CN conduction coefficients and the isothermal
+    # latent link fluxes) ONCE per boundary heat chunk at chunk-start
+    # temperatures, instead of per sub-step as the reference's heatLoop
+    # does (cpusolver.cpp:471-605). The lag is <= the chunk length
+    # (the Courant-limited dtHeat, seconds) over which T moves by mK, so
+    # the property error is ~1e-6 relative; the measured whole-hour
+    # envelope vs the exact path is recorded in
+    # tests/test_coupled.py::test_frozen_props_envelope. Requires the
+    # f32 sweep fast path; a DOCUMENTED deviation in the spirit of
+    # fast_f32 itself (DEVIATIONS #31).
+    heat_frozen_props: bool = False
     courant_threshold: float = 0.5     # Δt growth gate
     instability_factor: float = 10.0
     # Reproduce the reference's integer-abs quirk in the surface-Courant

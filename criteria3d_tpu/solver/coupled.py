@@ -42,8 +42,29 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
     # cpusolver.cpp:388). Like the reference, they are excluded from the
     # balance sink sums (computeWaterSinkSourceFlowsSum reads waterFlow
     # only).
-    def thermal_flux(psi, k):
-        return H.thermal_water_flux(grid, params, heat_state, psi, k)
+    frozen_props = params.heat_frozen_props \
+        and params.sweep_dtype is not None \
+        and params.sweep_dtype != params.dtype
+    if frozen_props:
+        # heat_frozen_props: the flux's DRIVING gradient (the step-start
+        # T field) is already frozen for the whole water step; freezing
+        # the conductivities at the step-start (psi, k) as well makes
+        # the term a constant of the step — the full-resolution device
+        # trace showed its per-Picard-iteration vapor-conductivity
+        # chains as the single largest cost of the coupled hour
+        # (~17 s/hour, 4 transcendental full-field fusions x ~170
+        # assemblies). The psi-lag deviation is bounded by the
+        # measured heat_frozen_props envelope (test_frozen_props_envelope).
+        sd = params.sweep_dtype
+        psi0 = (water.h - grid.z).astype(sd)
+        tw_frozen = H.thermal_water_flux(grid, params, heat_state, psi0,
+                                         water.k.astype(sd))
+
+        def thermal_flux(psi, k):
+            return tw_frozen
+    else:
+        def thermal_flux(psi, k):
+            return H.thermal_water_flux(grid, params, heat_state, psi, k)
 
     # conductances are FROZEN once per computeStep from the start-of-step
     # state (updateConductance before the water solve, heat.cpp:214-236 +
@@ -82,46 +103,112 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
     # flux per sub-step and capped the total sub-step count, silently
     # dropping unintegrated time in failure cascades — the actual root
     # cause of the vapor-path parity gap, DEVIATIONS #22.)
+    # The loops below carry ONLY (t, storage_prev, sink_whole, mbr) plus
+    # control scalars — t_old is identical to t throughout this driver
+    # (heat_step sets both from the same accepted value, initialize_heat
+    # starts them equal) and sink_source / storage_whole never change, so
+    # carrying the full HeatState would copy three extra full fields per
+    # while iteration (the dominant cost of the round-4 coupled hour
+    # after the balance hoist: carry copy-starts were ~35% of device
+    # time at coarsen 8).
+    import dataclasses as _dc
+
+    def with_t(t_field, storage_prev, sink_whole, mbr):
+        return _dc.replace(heat_state, t=t_field, t_old=t_field,
+                           storage_prev=storage_prev,
+                           sink_whole=sink_whole, mbr=mbr)
+
     def outer_cond(c):
-        heat_s, t_sum, dt_pref, it = c
+        t_f, sp, sw, mbr, t_sum, dt_pref, it = c
         return jnp.logical_and(t_sum < dt_water, it < max_substeps)
 
     def outer_body(c):
-        heat_s, t_sum, dt_pref, it = c
+        t_f, sp, sw, mbr, t_sum, dt_pref, it = c
         chunk_max = jnp.minimum(dt_pref, dt_water - t_sum)
         flow, chunk, _ = H.update_boundary_heat(
-            grid, params, heat_s, boundary, water_new, chunk_max, dt_water,
+            grid, params, with_t(t_f, sp, sw, mbr), boundary, water_new,
+            chunk_max, dt_water,
             conductances=conduct, evap_rate=evap_rate_frozen)
+        # the chunk's frozen boundary flow sum (the sink side of every
+        # sub-step balance) and the sub-step-invariant f64 energy factors
+        # are hoisted out of the sub-step loop; the cache is keyed on the
+        # sub-step length and only rebuilt when a halving or a final
+        # partial sub-step changes it (see H.energy_invariants)
+        flow_sum = jnp.sum(jnp.where(grid.mask.at[0].set(False), flow, 0.0))
+
+        frozen = params.heat_frozen_props and params.sweep_dtype is not None \
+            and params.sweep_dtype != params.dtype
+        t_chunk = t_f   # chunk-start temperatures (heat_frozen_props)
+
+        def make_cache(dt_h):
+            return H.energy_invariants(grid, params, water_new, dt_h,
+                                       dt_water)
+
+        if frozen:
+            # the frozen factors are dt-INDEPENDENT (the sub-step folds
+            # its dt in with cheap element-wise passes), so the heavy
+            # property assembly runs exactly once per chunk — no lax.cond
+            # keyed on the sub-step length (whose halving churn rebuilt it
+            # nearly every sub-step in the first round-5 cut)
+            inv0 = make_cache(chunk)
+            fzsys = H.chunk_frozen_system(grid, params, t_chunk, water_new,
+                                          chunk, dt_water, flow, flow_sum,
+                                          inv0)
+
+            def inner_cond(ci):
+                t_i, sp_i, sw_i, mbr_i, t_in, dt_h, it_in = ci
+                return jnp.logical_and(t_in < chunk, it_in < 4096)
+
+            def inner_body(ci):
+                t_i, sp_i, sw_i, mbr_i, t_in, dt_h, it_in = ci
+                dt_try = jnp.minimum(dt_h, chunk - t_in)
+                t_i, sp_i, sw_i, mbr_i, ok = H.heat_substep_frozen(
+                    grid, params, fzsys, t_i, sp_i, sw_i, dt_try)
+                t_next = jnp.where(ok, t_in + dt_try, t_in)
+                dt_next = jnp.where(ok, dt_h, dt_try * 0.5)
+                return (t_i, sp_i, sw_i, mbr_i, t_next, dt_next, it_in + 1)
+
+            t_f2, sp, sw, mbr, _, _, _ = lax.while_loop(
+                inner_cond, inner_body,
+                (t_f, sp, sw, mbr, jnp.zeros((), params.dtype), chunk,
+                 jnp.zeros((), jnp.int32)))
+            return (t_f2, sp, sw, mbr, t_sum + chunk, chunk, it + 1)
 
         def inner_cond(ci):
-            h_s, t_in, dt_h, it_in = ci
+            t_i, sp_i, sw_i, mbr_i, t_in, dt_h, it_in, cache_dt, cache = ci
             return jnp.logical_and(t_in < chunk, it_in < 4096)
 
         def inner_body(ci):
-            h_s, t_in, dt_h, it_in = ci
+            t_i, sp_i, sw_i, mbr_i, t_in, dt_h, it_in, cache_dt, cache = ci
             dt_try = jnp.minimum(dt_h, chunk - t_in)
-            new_heat, mbr = H.heat_step(grid, params, h_s, boundary,
-                                        water_new, dt_try, dt_water,
-                                        conductances=conduct,
-                                        evap_rate=evap_rate_frozen,
-                                        heat_flow=flow)
-            ok = (jnp.abs(mbr) <= 1.0) \
+            cache = lax.cond(dt_try == cache_dt,
+                             lambda _: cache, make_cache, dt_try)
+            new_heat, mbr2 = H.heat_step(
+                grid, params, with_t(t_i, sp_i, sw_i, mbr_i), boundary,
+                water_new, dt_try, dt_water,
+                conductances=conduct, evap_rate=evap_rate_frozen,
+                heat_flow=flow, energy_cache=cache, flow_sum=flow_sum)
+            ok = (jnp.abs(mbr2) <= 1.0) \
                 | (dt_try <= params.delta_t_min * 10.0)
+            t_i, sp_i, sw_i, mbr_i = (new_heat.t, new_heat.storage_prev,
+                                      new_heat.sink_whole, new_heat.mbr)
             t_next = jnp.where(ok, t_in + dt_try, t_in)
             dt_next = jnp.where(ok, dt_h, dt_try * 0.5)
-            return (new_heat, t_next, dt_next, it_in + 1)
+            return (t_i, sp_i, sw_i, mbr_i, t_next, dt_next, it_in + 1,
+                    dt_try, cache)
 
-        heat_s, _, _, _ = lax.while_loop(
+        t_f2, sp, sw, mbr, _, _, _, _, _ = lax.while_loop(
             inner_cond, inner_body,
-            (heat_s, jnp.zeros((), params.dtype), chunk,
-             jnp.zeros((), jnp.int32)))
-        return (heat_s, t_sum + chunk, chunk, it + 1)
+            (t_f, sp, sw, mbr, jnp.zeros((), params.dtype), chunk,
+             jnp.zeros((), jnp.int32), chunk, make_cache(chunk)))
+        return (t_f2, sp, sw, mbr, t_sum + chunk, chunk, it + 1)
 
-    heat_final, _, _, _ = lax.while_loop(
+    t_f, sp, sw, mbr, _, _, _ = lax.while_loop(
         outer_cond, outer_body,
-        (heat_state, jnp.zeros((), params.dtype), dt_water,
+        (heat_state.t, heat_state.storage_prev, heat_state.sink_whole,
+         heat_state.mbr, jnp.zeros((), params.dtype), dt_water,
          jnp.zeros((), jnp.int32)))
-    return water_new, heat_final, dt_water
+    return water_new, with_t(t_f, sp, sw, mbr), dt_water
 
 
 @partial(jax.jit, static_argnames=("params", "max_substeps"))

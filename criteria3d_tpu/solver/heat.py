@@ -184,11 +184,13 @@ def water_return_flow_factor(theta, t_k, clay):
     return jnp.where(theta < 0.01 * wc0, 0.0, f)
 
 
-def thermal_vapor_conductivity(grid: Grid, params: SolverParameters, t_k, h):
+def thermal_vapor_conductivity(grid: Grid, params: SolverParameters, t_k, h,
+                               theta=None):
     """[kg m-1 s-1 K-1] (heat.cpp:783-830, Cass et al. 1984 enhancement)."""
     t_c = t_k - ZEROCELSIUS
     pressure = pressure_from_altitude(grid.z)
-    theta = theta_from_signed_psi(grid, params, h)
+    if theta is None:
+        theta = theta_from_signed_psi(grid, params, h)
     v_diff = soil_vapor_diffusivity(grid.soil.theta_s, theta, t_k)
     svp = saturation_vapor_pressure(t_c)
     svp_slope = 4098.0 * (svp / 1000.0) / ((237.3 + t_c) ** 2)  # [kPa/degC]
@@ -203,9 +205,11 @@ def thermal_vapor_conductivity(grid: Grid, params: SolverParameters, t_k, h):
     return eta * v_diff * svc_slope * rh
 
 
-def isothermal_vapor_conductivity(grid: Grid, params: SolverParameters, t_k, h):
+def isothermal_vapor_conductivity(grid: Grid, params: SolverParameters, t_k, h,
+                                  theta=None):
     """[kg s m-3] (heat.cpp:832-855)."""
-    theta = theta_from_signed_psi(grid, params, h)
+    if theta is None:
+        theta = theta_from_signed_psi(grid, params, h)
     v_diff = soil_vapor_diffusivity(grid.soil.theta_s, theta, t_k)
     v_conc = vapor_from_psi_temp(h, t_k)
     return v_diff * v_conc * MH2O / (R_GAS * t_k)
@@ -223,10 +227,15 @@ def _clay(grid: Grid):
 
 
 def soil_thermal_conductivity(grid: Grid, params: SolverParameters, t_k, h,
-                              with_vapor: bool = False):
-    """de Vries weighted mixture [W m-1 K-1] (heat.cpp:700-756)."""
+                              with_vapor: bool = False, theta=None):
+    """de Vries weighted mixture [W m-1 K-1] (heat.cpp:700-756).
+
+    ``theta`` optionally passes a precomputed retention evaluation at
+    ``h`` — the van Genuchten chain is the expensive transcendental of
+    this property and is SUB-STEP-INVARIANT inside the coupled driver
+    (h does not change between heat sub-steps; see energy_invariants)."""
     t_c = t_k - ZEROCELSIUS
-    w_frac = theta_from_signed_psi(grid, params, h)
+    w_frac = theta_from_signed_psi(grid, params, h) if theta is None else theta
     s_frac = 1.0 - grid.soil.theta_s
     a_frac = jnp.maximum(grid.soil.theta_s - w_frac, 0.0)
 
@@ -235,7 +244,7 @@ def soil_thermal_conductivity(grid: Grid, params: SolverParameters, t_k, h,
     k_a = 0.024 + 0.0000773 * t_c - 0.000000026 * t_c ** 2
     if with_vapor:
         k_a = k_a + latent_vaporization_heat(t_c) * thermal_vapor_conductivity(
-            grid, params, t_k, h)
+            grid, params, t_k, h, theta=w_frac)
     k_f = k_a + f_ret * (k_w - k_a)
 
     ga = 0.088
@@ -251,9 +260,10 @@ def soil_thermal_conductivity(grid: Grid, params: SolverParameters, t_k, h,
 
 
 def heat_capacity(grid: Grid, params: SolverParameters, h, t_k,
-                  with_vapor: bool = False):
+                  with_vapor: bool = False, theta=None):
     """Volumetric heat capacity [J m-3 K-1] (heat.cpp:857-877)."""
-    theta = theta_from_signed_psi(grid, params, h)
+    if theta is None:
+        theta = theta_from_signed_psi(grid, params, h)
     bulk = estimate_bulk_density(grid)
     hc = (bulk / QUARTZ_DENSITY) * HEAT_CAPACITY_MINERAL + theta * HEAT_CAPACITY_WATER
     if with_vapor:
@@ -382,18 +392,21 @@ def thermal_water_flux(grid: Grid, params: SolverParameters,
 
 def isothermal_latent_link_flux(grid: Grid, params: SolverParameters,
                                 heat: HeatState, water: WaterState,
-                                node_h, t_field=None, h_old=None):
+                                node_h, t_field=None, h_old=None,
+                                theta=None):
     """Latent heat carried by isothermal vapor flow between nodes [W]
     (computeIsothermalLatentHeatFlux, heat.cpp:575-601): mean isothermal
     vapor conductivity times the matric-potential-energy difference.
 
     ``t_field``/``h_old`` override the state fields (the f32 fast path
-    passes pre-cast copies so the whole stencil runs in the sweep dtype)."""
+    passes pre-cast copies so the whole stencil runs in the sweep dtype);
+    ``theta`` a precomputed retention at the link-mean head (sub-step
+    invariant, see energy_invariants)."""
     t = heat.t if t_field is None else t_field
     w_h_old = water.h_old if h_old is None else h_old
     heat_mask = grid.mask.at[0].set(False)
     avg_h = compute_mean(node_h, w_h_old, MeanType.ARITHMETIC) - grid.z
-    ivk = isothermal_vapor_conductivity(grid, params, t, avg_h)
+    ivk = isothermal_vapor_conductivity(grid, params, t, avg_h, theta=theta)
     lam = latent_vaporization_heat(t - ZEROCELSIUS)
     psi_e = avg_h * GRAVITY        # [J kg-1]
 
@@ -832,11 +845,92 @@ def _conduction_coeffs(grid: Grid, params: SolverParameters, heat: HeatState,
     return a_up, a_down, jnp.stack(lat), heat_mask
 
 
+class SubstepInvariants(NamedTuple):
+    """Sub-step-invariant fields of heat_step, keyed on (dt_heat, dt_water).
+
+    h does not change between the heat sub-steps of one boundary chunk
+    (getNodeH_fromTimeSteps depends only on the sub-step LENGTH), so
+    every retention evaluation in the sub-step — the van Genuchten pow
+    chains, the single most expensive transcendentals of the assembly,
+    and f64-EMULATED ones in the balance (X64SplitLow/High float32
+    pairs) — can be computed once per chunk instead of once per sub-step.
+    Hoisting is exact: same formulas, same inputs, same values."""
+
+    h_signed64: jax.Array    # psi at the interpolated head [m], f64
+    sens64: jax.Array        # sensible energy coefficient [J K-1], f64
+    vfac64: jax.Array        # vapor volume factor [m3], f64
+    # f32 assembly invariants (None on the f64 parity path)
+    theta_avg: jax.Array | None     # theta at the CN-averaged head
+    theta_node: jax.Array | None    # theta at the interpolated head
+    theta_old: jax.Array | None     # theta at the start-of-step head
+    theta_link: jax.Array | None    # theta at the link-mean head
+
+
+def energy_invariants(grid: Grid, params: SolverParameters,
+                      water: WaterState, dt_heat, dt_water):
+    """Build :class:`SubstepInvariants` (see its docstring).
+
+    The balance storage sum (evaluateHeatBalance, heat.cpp:376-394) was
+    the single most expensive per-sub-step operation on TPU before this
+    hoist; the f32 assembly thetas feed heat_capacity /
+    soil_thermal_conductivity / the vapor-content terms /
+    isothermal_latent_link_flux on the fast path."""
+    node_h64 = _node_h_from_timesteps(water, dt_heat, dt_water)
+    h_signed = node_h64 - grid.z
+    theta = theta_from_signed_psi(grid, params, h_signed)
+    bulk = estimate_bulk_density(grid)
+    sens = ((bulk / QUARTZ_DENSITY) * HEAT_CAPACITY_MINERAL
+            + theta * HEAT_CAPACITY_WATER) * grid.volume
+    vfac = jnp.maximum(grid.soil.theta_s - theta, 0.0) * grid.volume
+
+    sd = params.sweep_dtype
+    fast = sd is not None and sd != params.dtype
+    theta_avg = theta_node = theta_old = theta_link = None
+    if fast:
+        g = grid.astype(sd)
+        node_h = node_h64.astype(sd)
+        h_old_s = water.h_old.astype(sd)
+        avg_h = (0.5 * (water.h_old + node_h64) - grid.z).astype(sd)
+        theta_avg = theta_from_signed_psi(g, params, avg_h)
+        theta_node = theta_from_signed_psi(g, params, node_h - g.z)
+        theta_old = theta_from_signed_psi(g, params, h_old_s - g.z)
+        link_h = compute_mean(node_h, h_old_s, MeanType.ARITHMETIC) - g.z
+        theta_link = theta_from_signed_psi(g, params, link_h)
+    return SubstepInvariants(h_signed, sens, vfac, theta_avg, theta_node,
+                             theta_old, theta_link)
+
+
+def _storage_from_invariants(grid: Grid, params: SolverParameters,
+                             inv, t_new, heat_mask):
+    """Heat storage [J] from hoisted invariants (same formula as
+    :func:`_node_heat_energy`, with the sub-step-varying VAPOR part
+    evaluated in f32 and accumulated in f64 — the term is ~4e-5 of the
+    total, so its f32 rounding is ~1e-12 relative on the storage, far
+    below the f64 path's own rounding at the mbr gate's |mbr| <= 1
+    scale).  The sensible part keeps the f64 multiply (t cancellation
+    between sub-steps is the quantity the MBE measures)."""
+    h_signed, sens, vfac = inv.h_signed64, inv.sens64, inv.vfac64
+    t64 = t_new.astype(jnp.float64)
+    storage = jnp.sum(jnp.where(heat_mask, sens * t64, 0.0))
+    if params.heat_vapor:
+        h32 = h_signed.astype(jnp.float32)
+        t32 = t_new.astype(jnp.float32)
+        v32 = vapor_from_psi_temp(h32, t32) / WATER_DENSITY
+        e32 = v32 * (HEAT_CAPACITY_AIR * t32
+                     + latent_vaporization_heat(t32 - ZEROCELSIUS)
+                     * WATER_DENSITY)
+        storage = storage + jnp.sum(
+            jnp.where(heat_mask, e32 * vfac.astype(jnp.float32), 0.0),
+            dtype=jnp.float64)
+    return storage
+
+
 def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
               boundary: HeatBoundary, water: WaterState,
               dt_heat, dt_water,
               conductances=None, evap_rate=None,
-              heat_flow=None) -> tuple[HeatState, jax.Array]:
+              heat_flow=None, energy_cache=None,
+              flow_sum=None) -> tuple[HeatState, jax.Array]:
     """One heat sub-step of length dt_heat inside a water step of dt_water.
 
     Mirrors CPUSolver::heatLoop (cpusolver.cpp:471-605). Returns
@@ -847,7 +941,13 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
     (computeStep, soilFluxes3D.cpp:1805-1814) and every heatLoop sub-step
     inside the chunk reuses that frozen flux — pass the chunk's flow here
     (compute_step_coupled does).  When omitted it is recomputed from the
-    current temperatures (legacy single-substep callers)."""
+    current temperatures (legacy single-substep callers).
+
+    ``energy_cache``: hoisted :func:`energy_invariants` for THIS
+    (dt_heat, dt_water) pair, and ``flow_sum`` the masked sum of
+    ``heat_flow`` — both loop-invariant inside a boundary chunk; the
+    driver caches them so the sub-step loop carries no f64
+    transcendentals (see energy_invariants)."""
     wf = params.heat_weight_factor
     if heat_flow is None:
         heat_flow, _, _ = update_boundary_heat(grid, params, heat, boundary,
@@ -884,26 +984,35 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
         hf = heat_flow
         tol = params.residual_tolerance
 
+    # sub-step-invariant retention evaluations come from the chunk cache
+    # when the coupled driver provides one (see SubstepInvariants) —
+    # identical formulas, computed once per chunk instead of per sub-step
+    cached = fast and energy_cache is not None \
+        and energy_cache.theta_avg is not None
+    th_avg = energy_cache.theta_avg if cached else None
     cap = heat_capacity(g, params, avg_h, t_cur,
-                        with_vapor=params.heat_vapor) * g.volume
+                        with_vapor=params.heat_vapor,
+                        theta=th_avg) * g.volume
     # the reference's air thermal conductivity includes the latent vapor
     # enhancement whenever water is computed, independent of the
     # computeHeatVapor flag (computeNodeHeatAirConductivity, heat.cpp:756-774)
     k_thermal = soil_thermal_conductivity(g, params, t_cur, avg_h,
-                                          with_vapor=True)
+                                          with_vapor=True, theta=th_avg)
 
     a_up, a_down, a_lat, heat_mask = _conduction_coeffs(
         g, params, heat, avg_h, k_thermal)
 
     # advected energy of the water-content change (cpusolver.cpp:500-518)
-    d_theta = theta_from_signed_psi(g, params, node_h - g.z) \
-        - theta_from_signed_psi(g, params, h_old_s - g.z)
+    if cached:
+        theta_new, theta_old = energy_cache.theta_node, energy_cache.theta_old
+    else:
+        theta_new = theta_from_signed_psi(g, params, node_h - g.z)
+        theta_old = theta_from_signed_psi(g, params, h_old_s - g.z)
+    d_theta = theta_new - theta_old
     heat_cap_corr = d_theta * HEAT_CAPACITY_WATER * t_cur
     if params.heat_vapor:
         # vapor-content change: sensible (air) + latent parts
         # (cpusolver.cpp:509-517)
-        theta_new = theta_from_signed_psi(g, params, node_h - g.z)
-        theta_old = theta_from_signed_psi(g, params, h_old_s - g.z)
         v_new = vapor_from_psi_temp(node_h - g.z, t_cur) / WATER_DENSITY \
             * jnp.maximum(g.soil.theta_s - theta_new, 0.0)
         v_old = vapor_from_psi_temp(h_old_s - g.z, t_prev) \
@@ -946,8 +1055,9 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
     if params.heat_vapor:
         # inter-node isothermal latent vapor fluxes enter the heat RHS as
         # invariant fluxes (computeHeatLinkFluxes, heat.cpp:432-446)
-        b = b + isothermal_latent_link_flux(g, params, heat, water, node_h,
-                                            t_field=t_cur, h_old=h_old_s)
+        b = b + isothermal_latent_link_flux(
+            g, params, heat, water, node_h, t_field=t_cur, h_old=h_old_s,
+            theta=energy_cache.theta_link if cached else None)
     b = jnp.where(heat_mask, b, 0.0)
 
     inv_diag = jnp.where(diag > 0, 1.0 / diag, 1.0)
@@ -986,13 +1096,21 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
 
     t_new = jnp.where(heat_mask, x.astype(params.dtype), heat.t)
 
-    # heat balance (evaluateHeatBalance, heat.cpp:376-394) — ALWAYS f64:
-    # the storage is a ~1e12 J sum whose 1e-6-relative reference scale
-    # f32 accumulation noise would swamp
-    storage = jnp.sum(jnp.where(
-        heat_mask,
-        _node_heat_energy(grid, params, node_h64 - grid.z, t_new), 0.0))
-    sink = jnp.sum(jnp.where(heat_mask, heat_flow, 0.0)) * dt_heat
+    # heat balance (evaluateHeatBalance, heat.cpp:376-394) — the storage
+    # is a ~1e12 J sum whose 1e-6-relative reference scale f32
+    # accumulation noise would swamp: sensible part in f64 (hoisted
+    # coefficient when energy_cache is given), tiny vapor part f32 with
+    # f64 accumulation (_storage_from_invariants)
+    if energy_cache is not None:
+        storage = _storage_from_invariants(grid, params, energy_cache,
+                                           t_new, heat_mask)
+    else:
+        storage = jnp.sum(jnp.where(
+            heat_mask,
+            _node_heat_energy(grid, params, node_h64 - grid.z, t_new), 0.0))
+    if flow_sum is None:
+        flow_sum = jnp.sum(jnp.where(heat_mask, heat_flow, 0.0))
+    sink = flow_sum * dt_heat
     delta = storage - heat.storage_prev
     mbe = delta - sink
     ref = jnp.maximum(jnp.abs(storage) * 1e-6, jnp.abs(sink))
@@ -1010,6 +1128,188 @@ def heat_step(grid: Grid, params: SolverParameters, heat: HeatState,
         sink_whole=heat.sink_whole + jnp.where(ok, sink, 0.0),
         mbr=mbr)
     return new_state, mbr
+
+
+class FrozenChunkSystem(NamedTuple):
+    """Per-chunk frozen heat system factors (params.heat_frozen_props).
+
+    Everything T-dependent is evaluated ONCE per boundary chunk at the
+    chunk-start temperatures and chunk-dt interpolated head, and stored
+    WITHOUT the 1/dt terms, so the factors are valid for EVERY sub-step
+    length the inner halving loop tries: a sub-step folds in its dt with
+    a handful of cheap element-wise passes (diagonal + preconditioning),
+    forms the RHS with one 9-point stencil pass over the current T, runs
+    the Jacobi sweeps, and evaluates the balance.  (The round-5 first cut
+    keyed a per-dt cache on a lax.cond; the halving churn rebuilt it
+    nearly every sub-step, which the full-resolution device trace showed
+    as ~20 s/hour of property fusions.)  See
+    SolverParameters.heat_frozen_props for the accuracy envelope."""
+
+    heat_mask: jax.Array
+    aw_up: jax.Array         # implicit CN couplings a*wf (+advective)
+    aw_down: jax.Array
+    aw_lat: jax.Array
+    ae_up: jax.Array         # explicit CN couplings a*(1-wf)
+    ae_down: jax.Array
+    ae_lat: jax.Array
+    adiag: jax.Array         # sum_a*wf + adv_diag  (diag without cap/dt)
+    cap: jax.Array           # heat capacity x volume [J K-1]
+    const0: jax.Array        # hf + iso_latent + adv_b   [W]
+    corr_rate: jax.Array     # advected-energy correction RATE [W]
+    #   (the exact per-sub-step term is corr(dt)/dt with corr built from
+    #   the dt-interpolated head; node_h is LINEAR in dt, so the rate is
+    #   dt-independent up to the retention curvature over one sub-step —
+    #   evaluated exactly at the chunk length, linearized for halved
+    #   sub-steps.  Storing corr [J] and dividing by the sub-step dt is
+    #   WRONG: a halved sub-step would apply the full-chunk water-content
+    #   change at twice the rate, which measured as a +13 K runaway.)
+    inv: "SubstepInvariants"
+    flow_sum: jax.Array
+    tol: jax.Array
+
+
+def chunk_frozen_system(grid: Grid, params: SolverParameters,
+                        t_chunk: jax.Array, water: WaterState,
+                        dt_heat, dt_water, heat_flow, flow_sum,
+                        inv: "SubstepInvariants") -> FrozenChunkSystem:
+    """Assemble the frozen factors (same math as heat_step's assembly with
+    ``t_cur = t_prev = t_chunk`` and the chunk-dt interpolated head)."""
+    wf = params.heat_weight_factor
+    sd = params.sweep_dtype
+    assert sd is not None and sd != params.dtype, \
+        "heat_frozen_props requires the f32 fast path"
+    node_h64 = _node_h_from_timesteps(water, dt_heat, dt_water)
+
+    g = grid.astype(sd)
+    t_cur = t_chunk.astype(sd)
+    node_h = node_h64.astype(sd)
+    h_old_s = water.h_old.astype(sd)
+    avg_h = (0.5 * (water.h_old + node_h64) - grid.z).astype(sd)
+    hf = heat_flow.astype(sd)
+    tol = jnp.maximum(jnp.asarray(params.residual_tolerance, sd), 1e-5)
+
+    th_avg = inv.theta_avg
+    cap = heat_capacity(g, params, avg_h, t_cur,
+                        with_vapor=params.heat_vapor,
+                        theta=th_avg) * g.volume
+    k_thermal = soil_thermal_conductivity(g, params, t_cur, avg_h,
+                                          with_vapor=True, theta=th_avg)
+    heat_pseudo = HeatState(t=t_chunk, t_old=t_chunk, sink_source=None,
+                            storage_prev=None, storage_whole=None,
+                            sink_whole=None, mbr=None)
+    a_up, a_down, a_lat, heat_mask = _conduction_coeffs(
+        g, params, heat_pseudo, avg_h, k_thermal)
+
+    theta_new, theta_old = inv.theta_node, inv.theta_old
+    d_theta = theta_new - theta_old
+    heat_cap_corr = d_theta * HEAT_CAPACITY_WATER * t_cur
+    if params.heat_vapor:
+        v_new = vapor_from_psi_temp(node_h - g.z, t_cur) / WATER_DENSITY \
+            * jnp.maximum(g.soil.theta_s - theta_new, 0.0)
+        v_old = vapor_from_psi_temp(h_old_s - g.z, t_cur) \
+            / WATER_DENSITY * jnp.maximum(g.soil.theta_s - theta_old, 0.0)
+        d_theta_v = v_new - v_old
+        heat_cap_corr = heat_cap_corr + d_theta_v * HEAT_CAPACITY_AIR * t_cur \
+            + d_theta_v * latent_vaporization_heat(t_cur - ZEROCELSIUS) \
+            * WATER_DENSITY
+    heat_cap_corr = heat_cap_corr * g.volume
+
+    if params.heat_advection:
+        adv = advective_link_coefficients(grid, params, heat_pseudo, water,
+                                          node_h64)
+        adv_up, adv_down, adv_lat, adv_diag, adv_b = \
+            (a.astype(cap.dtype) for a in adv)
+    else:
+        adv_up = adv_down = jnp.zeros_like(a_up)
+        adv_lat = jnp.zeros_like(a_lat)
+        adv_diag = adv_b = jnp.zeros_like(a_up)
+
+    sum_a = a_up + a_down + jnp.sum(a_lat, axis=0)
+
+    const0 = hf + adv_b
+    if params.heat_vapor:
+        const0 = const0 + isothermal_latent_link_flux(
+            g, params, heat_pseudo, water, node_h,
+            t_field=t_cur, h_old=h_old_s, theta=inv.theta_link)
+
+    return FrozenChunkSystem(
+        heat_mask=heat_mask,
+        aw_up=a_up * wf + adv_up,
+        aw_down=a_down * wf + adv_down,
+        aw_lat=a_lat * wf + adv_lat,
+        ae_up=a_up * (1.0 - wf),
+        ae_down=a_down * (1.0 - wf),
+        ae_lat=a_lat * (1.0 - wf),
+        adiag=sum_a * wf + adv_diag,
+        cap=cap, const0=const0,
+        corr_rate=heat_cap_corr / jnp.asarray(dt_heat, cap.dtype),
+        inv=inv, flow_sum=flow_sum, tol=tol)
+
+
+def heat_substep_frozen(grid: Grid, params: SolverParameters,
+                        fz: FrozenChunkSystem, t_field: jax.Array,
+                        storage_prev, sink_whole, dt_heat):
+    """One sub-step over a frozen chunk system: fold the sub-step dt into
+    the frozen factors (cheap element-wise passes), preconditioned RHS
+    from the current T, Jacobi sweeps, f64 balance, accept/reject — the
+    sub-step loop of CPUSolver::heatLoop (cpusolver.cpp:471-605) with the
+    property evaluations hoisted to the chunk (heat_frozen_props)."""
+    sd = params.sweep_dtype
+    t0 = t_field.astype(sd)
+    mask = fz.heat_mask
+
+    dth = jnp.asarray(dt_heat, t0.dtype)
+    cap_dt = fz.cap / dth
+    diag = jnp.where(mask, fz.adiag + cap_dt, 1.0)
+    inv_diag = jnp.where(diag > 0, 1.0 / diag, 1.0)
+    c_up = fz.aw_up * inv_diag
+    c_down = fz.aw_down * inv_diag
+    c_lat = fz.aw_lat * inv_diag[None]
+
+    f0 = fz.ae_up * (jnp.roll(t0, 1, axis=0) - t0) \
+        + fz.ae_down * (jnp.roll(t0, -1, axis=0) - t0)
+    for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+        f0 = f0 + fz.ae_lat[idx] * (shift2d(t0, di, dj) - t0)
+    b = cap_dt * t0 + fz.const0 - fz.corr_rate + f0
+    b_p = jnp.where(mask, b * inv_diag, 0.0)
+    b_p, c_up, c_down, c_lat = lax.optimization_barrier(
+        (b_p, c_up, c_down, c_lat))
+
+    max_iter = params.max_iterations_for(params.max_approximations - 1)
+
+    def sweep(x):
+        acc = b_p + c_up * jnp.roll(x, 1, axis=0) \
+            + c_down * jnp.roll(x, -1, axis=0)
+        for idx, (di, dj) in enumerate(LATERAL_OFFSETS):
+            acc = acc + c_lat[idx] * shift2d(x, di, dj)
+        x_new = jnp.where(mask, acc, x)
+        norm = jnp.max(jnp.abs(x_new - x))
+        return x_new, norm
+
+    def cond(c):
+        _, it, norm = c
+        return (it < max_iter) & (norm >= fz.tol)
+
+    def body(c):
+        x, it, _ = c
+        x_new, norm = sweep(x)
+        return x_new, it + 1, norm
+
+    x, _, _ = lax.while_loop(cond, body, (t0, jnp.zeros((), jnp.int32),
+                                          jnp.full((), jnp.inf, t0.dtype)))
+    t_new = jnp.where(mask, x.astype(params.dtype), t_field)
+
+    storage = _storage_from_invariants(grid, params, fz.inv, t_new, mask)
+    sink = fz.flow_sum * dt_heat
+    delta = storage - storage_prev
+    mbe = delta - sink
+    ref = jnp.maximum(jnp.abs(storage) * 1e-6, jnp.abs(sink))
+    mbr = mbe / jnp.maximum(ref, 1.0)
+
+    ok = (jnp.abs(mbr) <= 1.0) | (dt_heat <= params.delta_t_min * 10.0)
+    t_final = jnp.where(ok, t_new, t_field)
+    return (t_final, jnp.where(ok, storage, storage_prev),
+            sink_whole + jnp.where(ok, sink, 0.0), mbr, ok)
 
 
 def _node_heat_energy(grid: Grid, params: SolverParameters, h_signed, t_k):

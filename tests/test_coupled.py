@@ -115,3 +115,54 @@ def test_fast_f32_heat_matches_f64():
         assert np.isfinite(dT) and dT < 0.05, (vapor, dT)
         assert dH < 1e-3, (vapor, dH)
         assert np.isfinite(float(hf.mbr))
+
+
+def test_frozen_props_envelope():
+    """heat_frozen_props (DEVIATIONS #31, the bench coupled-leg default)
+    must track the exact-per-substep fast path within its documented
+    envelope on the heat-parity column forcing (warm air + 300 W/m2 over
+    cool soil, vapor on): measured ~78 mK over 3 h (~26 mK/h; the fast
+    path itself sits ~3 mK/h from f64). A catastrophic-regression guard,
+    not a parity bar — the solve/balance restructure behind the flag has
+    already produced a +13 K runaway once (dt-dependent correction term
+    divided by the halved sub-step length) which this test would catch
+    in its first hour."""
+    from criteria3d_tpu.solver.coupled import compute_period_coupled
+
+    def run(frozen):
+        dem = np.zeros((1, 1))
+        soil = SoilFields.uniform((1, 1), vg_alpha=1.4, vg_n=1.6,
+                                  vg_he=0.02, theta_s=0.43, theta_r=0.05,
+                                  k_sat=1e-5)
+        grid = Grid.build(dem, 2.0, soil, total_depth=0.8,
+                          free_catchment_runoff=False,
+                          free_bottom_drainage=False,
+                          free_lateral_drainage=False)
+        grid = dataclasses.replace(
+            grid,
+            btype=grid.btype.at[1, 0, 0].set(8),   # HeatSurface
+            bsize=grid.bsize.at[1, 0, 0].set(float(grid.area)))
+        params = SolverParameters.fast_f32(heat_vapor=True,
+                                           heat_frozen_props=frozen)
+        water = WaterState.initialize(grid, params, matric_potential=-2.0)
+        water = initialize_balance(grid, params, water)
+        heat = H.initialize_heat(grid, 283.15)
+        heat = dataclasses.replace(
+            heat, storage_prev=H.heat_storage(grid, params, heat, water),
+            storage_whole=H.heat_storage(grid, params, heat, water))
+        boundary = H.HeatBoundary.uniform(
+            grid.shape[1:], air_temperature=298.15, rel_humidity=50.0,
+            wind_speed=2.0, net_irradiance=300.0, mask=grid.mask[1])
+        for _ in range(3):
+            water, heat = compute_period_coupled(grid, params, water, heat,
+                                                 boundary, 3600.0)
+        return np.asarray(heat.t), grid
+
+    t_exact, grid = run(False)
+    t_frozen, _ = run(True)
+    mask = np.array(grid.mask)
+    mask[0] = False
+    err_mk = 1000.0 * np.abs(t_frozen - t_exact)[mask].max()
+    assert err_mk < 150.0, f"frozen-props envelope blown: {err_mk:.1f} mK"
+    # and the trajectory actually warmed toward the forcing on both paths
+    assert t_exact[mask].max() > 283.15 + 5.0
