@@ -28,7 +28,7 @@ from criteria3d_tpu.project import Criteria3DProject
 REF = "/root/reference/DATA/PROJECT"
 SOAK = os.environ.get("CRITERIA3D_SOAK") == "1"
 
-pytestmark = pytest.mark.skipif(
+full_soak = pytest.mark.skipif(
     not SOAK, reason="multi-day soak; set CRITERIA3D_SOAK=1")
 
 
@@ -70,6 +70,7 @@ def build_montue(tmp, n_days=6):
     return db_path
 
 
+@full_soak
 def test_montue_five_day_soak_with_restart(tmp_path):
     import dataclasses
     import time
@@ -149,6 +150,7 @@ def test_montue_five_day_soak_with_restart(tmp_path):
             np.asarray(prj_c.model.degree_days)[m0], dd_a[m0], atol=0.51)
 
 
+@full_soak
 def test_cogne_snow_soak(tmp_path):
     """12 cold storm hours on the Cogne alpine DEM: the snowpack
     accumulates over the catchment and survives a state round-trip."""
@@ -192,3 +194,102 @@ def test_cogne_snow_soak(tmp_path):
                                rtol=1e-6, atol=1e-4)
     dh = np.abs(np.asarray(water.h) - np.asarray(prj.model.water.h))
     assert dh[np.asarray(prj.grid.mask)].max() < 1e-3
+
+
+# ----------------------------------------------------------------------
+# ALWAYS-ON mini-soaks (VERDICT r4 item 6): trimmed versions of the two
+# multi-day soaks above, so restart-equivalence and the alpine/snow path
+# guard every default pytest run (~2-3 min total on the 2-core CI host
+# with a warm compile cache). The 5-6-day versions stay behind
+# CRITERIA3D_SOAK=1.
+# ----------------------------------------------------------------------
+
+def test_montue_mini_soak_with_restart(tmp_path):
+    """6 simulated hours of the real Montue project with a save/reload
+    restart at hour 3 — the trimmed always-on analogue of
+    test_montue_five_day_soak_with_restart (criteria3DProject.cpp
+    runModels + saveModelsState/loadModelState, :1169-1318, 2138-2257)."""
+    from criteria3d_tpu.io.state_io import load_state, save_state
+
+    db_path = build_montue(tmp_path, n_days=2)
+    start = datetime.datetime(2014, 2, 25, 6)
+
+    prj = Criteria3DProject.load(f"{REF}/Montue/Montue.ini",
+                                 meteo_db_path=db_path,
+                                 output_dir=str(tmp_path / "OUT_A"))
+    prj.initialize(fast=True)
+    log = prj.run_period(start, 6, write_outputs=False)
+    assert len(log) == 6
+    assert all(np.isfinite(e["mbr"]) for e in log)
+    assert abs(float(prj.model.water.balance_whole.mbr)) < 5e-3
+    h_final_a = np.asarray(prj.model.water.h).copy()
+
+    # restart: 3 h -> save -> fresh project -> load -> 3 h
+    prj_b = Criteria3DProject.load(f"{REF}/Montue/Montue.ini",
+                                   meteo_db_path=db_path,
+                                   output_dir=str(tmp_path / "OUT_B"))
+    prj_b.initialize(fast=True)
+    prj_b.run_period(start, 3, write_outputs=False)
+    state_dir = str(tmp_path / "STATE_H3")
+    save_state(state_dir, prj_b.grid, prj_b.model.water,
+               snow=prj_b.model.snow, degree_days=prj_b.model.degree_days,
+               lai=prj_b.model.lai)
+
+    prj_c = Criteria3DProject.load(f"{REF}/Montue/Montue.ini",
+                                   meteo_db_path=db_path,
+                                   output_dir=str(tmp_path / "OUT_C"))
+    prj_c.initialize(fast=True)
+    water, snow, extras = load_state(state_dir, prj_c.grid, prj_c.params)
+    prj_c.model.water = water
+    if snow is not None:
+        prj_c.model.snow = snow
+    if "degreeDays" in extras:
+        prj_c.model.degree_days = extras["degreeDays"]
+    if "lai" in extras:
+        prj_c.model.lai = extras["lai"]
+    prj_c.run_period(start + datetime.timedelta(hours=3), 3,
+                     write_outputs=False)
+
+    h_final_c = np.asarray(prj_c.model.water.h)
+    mask = np.asarray(prj_c.grid.mask)
+    dh = np.abs(h_final_c - h_final_a)[mask]
+    assert dh.max() < 5e-2, f"restart diverged: max dH = {dh.max():.3e} m"
+    assert np.quantile(dh, 0.99) < 1e-2
+
+
+def test_cogne_mini_snow(tmp_path):
+    """3 cold storm hours on the real Cogne alpine DEM + snow-state
+    round-trip — the trimmed always-on analogue of test_cogne_snow_soak."""
+    import dataclasses
+
+    from criteria3d_tpu.io.state_io import load_state, save_state
+    from criteria3d_tpu.model import HourlyForcing
+    from criteria3d_tpu.physics.snow import SnowState
+
+    prj = Criteria3DProject.load(f"{REF}/Cogne/Cogne.ini",
+                                 output_dir=str(tmp_path / "OUT"))
+    prj.initialize(fast=True)
+    prj.model.config = dataclasses.replace(prj.model.config,
+                                           compute_snow=True)
+    shape = prj.grid.shape[1:]
+    prj.model.snow = SnowState.zero(shape, surface_temp=-2.0)
+
+    f = lambda v: jnp.full(shape, float(v), jnp.float64)
+    swe_max = 0.0
+    for h in range(3):
+        forcing = HourlyForcing(
+            air_temperature=f(-4.0), precipitation=f(2.0),
+            rel_humidity=f(90.0), wind_speed=f(3.0), transmissivity=0.3)
+        out = prj.model.run_hour(forcing, 2014, 1, 20, h)
+        assert np.isfinite(out["mbr"])
+        swe_max = float(jnp.max(out["swe"]))
+    assert swe_max > 2.0      # the cold storm accumulated as snow
+
+    state_dir = str(tmp_path / "STATE")
+    save_state(state_dir, prj.grid, prj.model.water, snow=prj.model.snow)
+    water, snow, _ = load_state(state_dir, prj.grid, prj.params)
+    assert snow is not None
+    mask = np.asarray(prj.grid.mask[0])
+    np.testing.assert_allclose(np.asarray(snow.swe)[mask],
+                               np.asarray(prj.model.snow.swe)[mask],
+                               rtol=1e-6, atol=1e-4)
