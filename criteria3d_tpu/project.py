@@ -103,6 +103,9 @@ class Criteria3DProject:
     _grid_xy: tuple | None = None
     # native async raster-output worker pool (criteria3d_tpu.native)
     _raster_writer: object | None = None
+    # previous hour's output maps, still on device (double-buffering:
+    # materialised only after the NEXT hour's solve is dispatched)
+    _staged_rasters: list | None = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -726,10 +729,18 @@ class Criteria3DProject:
                                   when.hour)
         out["forcing"] = forcing
 
+        # the PREVIOUS hour's staged rasters are materialised only now —
+        # after this hour's solve has been dispatched — so their
+        # device->host fetch overlaps the running compute instead of
+        # fencing the pipeline once per hour (double-buffering; the
+        # native writer pool then overlaps the file IO as well)
+        self._flush_staged()
+
         if write_outputs:
             variables = self.output_variables()
             time_tag = when.strftime("%Y%m%d_H%H")
             if variables:
+                from criteria3d_tpu.outputs import compute_output_rasters
                 raster_dir = os.path.join(self.output_dir, "rasters",
                                           when.strftime("%Y%m%d"))
                 if self._raster_writer is None:
@@ -737,10 +748,9 @@ class Criteria3DProject:
                     # hour's accelerator compute (sync fallback inside)
                     from criteria3d_tpu.native import AsyncRasterWriter
                     self._raster_writer = AsyncRasterWriter(n_threads=2)
-                write_output_rasters(raster_dir, time_tag, self.grid,
-                                     self.params, self.model.water,
-                                     variables,
-                                     writer=self._raster_writer)
+                self._staged_rasters = compute_output_rasters(
+                    raster_dir, time_tag, self.grid, self.params,
+                    self.model.water, variables)
             if self.output_points is not None and self.output_points.ids:
                 db_path = self.config.output_db_path or \
                     os.path.join(self.output_dir, "outputPoints.db")
@@ -841,8 +851,17 @@ class Criteria3DProject:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         rep.write(path)
 
+    def _flush_staged(self) -> None:
+        if self._staged_rasters:
+            from criteria3d_tpu.outputs import flush_staged_rasters
+            flush_staged_rasters(self._staged_rasters,
+                                 writer=self._raster_writer)
+            self._staged_rasters = None
+
     def flush_outputs(self) -> None:
-        """Drain the async raster-writer queue (no-op when unused)."""
+        """Materialise any staged rasters and drain the async writer
+        queue (no-op when unused)."""
+        self._flush_staged()
         if self._raster_writer is not None:
             self._raster_writer.flush()
 
