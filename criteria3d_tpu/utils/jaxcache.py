@@ -22,7 +22,14 @@ __all__ = ["machine_cache_dir", "machine_fingerprint"]
 
 
 def machine_fingerprint() -> str:
-    """A short stable hash of this host's CPU feature set."""
+    """A short stable hash of this host's CPU feature set + jax build.
+
+    The jaxlib version is part of the key because the embedded LLVM
+    target-feature string of an AOT entry is an XLA-version property,
+    not only a CPU one: identical /proc/cpuinfo flags have produced
+    entries differing in XLA-chosen features (+prefer-no-scatter /
+    +prefer-no-gather), which cpu_aot_loader flags as a
+    possibly-SIGILL machine mismatch on load."""
     flags = ""
     try:
         with open("/proc/cpuinfo") as f:
@@ -34,6 +41,12 @@ def machine_fingerprint() -> str:
         pass
     if not flags:
         flags = f"{platform.machine()}|{platform.processor()}"
+    try:
+        import jaxlib
+        import jax
+        flags += f"|jax{jax.__version__}|jaxlib{jaxlib.__version__}"
+    except Exception:
+        pass
     return hashlib.sha1(flags.encode()).hexdigest()[:12]
 
 
