@@ -13,8 +13,10 @@ Implementation notes:
 * vs_baseline is the speedup vs the MEASURED reference CPU build on the
   SAME problem: scripts/reference_bench.py compiles the unmodified
   agrolib/soilFluxes3D with OpenMP and times it on this benchmark
-  (BASELINE_REF.json; full resolution: 382.2 s/sim-hour at 2 threads —
-  the reference's own default thread count on this 2-core host).
+  (BASELINE_REF.json; full resolution: 166.4 s/sim-hour at 2 threads —
+  the reference's own default thread count on this 2-core host, on the
+  round-5-corrected problem export; see the phantom-surface-deficit
+  note in BASELINE.md).
 """
 
 import dataclasses
