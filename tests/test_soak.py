@@ -293,3 +293,27 @@ def test_cogne_mini_snow(tmp_path):
     np.testing.assert_allclose(np.asarray(snow.swe)[mask],
                                np.asarray(prj.model.snow.swe)[mask],
                                rtol=1e-6, atol=1e-4)
+
+
+@full_soak
+def test_catchment_field_parity():
+    """Catchment-scale field parity vs the compiled reference (VERDICT r4
+    item 2, soak tier): one storm hour of coarsen-8 Ravone (46k nodes,
+    real DEM mask edges + lateral boundary map) through BOTH
+    implementations; the f64 path must agree per-node to 1e-5 m (the
+    official coarsen-4 3-hour record lives in BASELINE_REF.json
+    field_parity: f64 3.3e-7 m)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts/reference_bench.py"),
+         "8", "1", "--fields"],
+        capture_output=True, text=True, timeout=3000, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json
+    data = json.load(open(os.path.join(repo, "BASELINE_REF.json")))
+    fp = data["field_parity"]["8"]["field_parity"]
+    assert max(fp["f64"]["max_abs_dh_per_hour_m"]) < 1e-5
+    assert max(fp["fast_f32"]["max_abs_dh_per_hour_m"]) < 2e-2
