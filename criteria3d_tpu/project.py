@@ -320,7 +320,12 @@ class Criteria3DProject:
             # drainage regimes, see SolverParameters.cg_precond)
             self.params = dataclasses.replace(
                 self.params, sweep_dtype=jnp.float32, inner_solver="cg",
-                cg_precond="line")
+                cg_precond="line",
+                # when the project computes heat, the fast path also uses
+                # the chunk-frozen property evaluation (DEVIATIONS #31,
+                # the bench coupled-leg default; measured 2.8x on the
+                # full-resolution coupled hour at a ~26 mK/h envelope)
+                heat_frozen_props=self.config.compute_heat)
 
         mconfig = ModelConfig(
             latitude=cfg.latitude, longitude=cfg.longitude,
