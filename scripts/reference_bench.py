@@ -229,7 +229,10 @@ def main():
               flush=True)
         result["field_parity"] = field_parity(grid, sink, hours, topo, out,
                                               runner, threads)
-    path = os.path.join(REPO, "BASELINE_REF.json")
+    # BASELINE_REF_OUT redirects the artifact (e.g. the soak-tier parity
+    # test writes to a tmp path instead of clobbering the committed anchor)
+    path = os.environ.get("BASELINE_REF_OUT",
+                          os.path.join(REPO, "BASELINE_REF.json"))
     data = {}
     if os.path.exists(path):
         with open(path) as f:

@@ -305,15 +305,18 @@ def test_catchment_field_parity():
     field_parity: f64 3.3e-7 m)."""
     import subprocess
     import sys
+    import tempfile
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_json = os.path.join(tempfile.mkdtemp(), "baseline_ref.json")
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "scripts/reference_bench.py"),
          "8", "1", "--fields"],
-        capture_output=True, text=True, timeout=3000, cwd=repo)
+        capture_output=True, text=True, timeout=3000, cwd=repo,
+        env=dict(os.environ, BASELINE_REF_OUT=out_json))
     assert proc.returncode == 0, proc.stderr[-2000:]
     import json
-    data = json.load(open(os.path.join(repo, "BASELINE_REF.json")))
+    data = json.load(open(out_json))
     fp = data["field_parity"]["8"]["field_parity"]
     assert max(fp["f64"]["max_abs_dh_per_hour_m"]) < 1e-5
     assert max(fp["fast_f32"]["max_abs_dh_per_hour_m"]) < 2e-2
