@@ -118,15 +118,24 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
                            storage_prev=storage_prev,
                            sink_whole=sink_whole, mbr=mbr)
 
+    # Carry dtype for the temperature field. An f32 carry is LOSSLESS in
+    # frozen mode (every accepted T comes out of the f32 sweep solve) and
+    # was tried to halve the x2-per-chunk carry copy-starts seen in the
+    # trace — but MEASURED SLOWER at full resolution (19.4 vs 18.2
+    # s/sim-hour: the f32<->f64 boundary casts cost more than the copy
+    # saving), so the carry stays in the state dtype.
+    carry_dtype = params.dtype
+
     def outer_cond(c):
         t_f, sp, sw, mbr, t_sum, dt_pref, it = c
         return jnp.logical_and(t_sum < dt_water, it < max_substeps)
 
     def outer_body(c):
         t_f, sp, sw, mbr, t_sum, dt_pref, it = c
+        t_f64 = t_f.astype(params.dtype)
         chunk_max = jnp.minimum(dt_pref, dt_water - t_sum)
         flow, chunk, _ = H.update_boundary_heat(
-            grid, params, with_t(t_f, sp, sw, mbr), boundary, water_new,
+            grid, params, with_t(t_f64, sp, sw, mbr), boundary, water_new,
             chunk_max, dt_water,
             conductances=conduct, evap_rate=evap_rate_frozen)
         # the chunk's frozen boundary flow sum (the sink side of every
@@ -205,10 +214,12 @@ def compute_step_coupled(grid: Grid, params: SolverParameters,
 
     t_f, sp, sw, mbr, _, _, _ = lax.while_loop(
         outer_cond, outer_body,
-        (heat_state.t, heat_state.storage_prev, heat_state.sink_whole,
-         heat_state.mbr, jnp.zeros((), params.dtype), dt_water,
+        (heat_state.t.astype(carry_dtype), heat_state.storage_prev,
+         heat_state.sink_whole, heat_state.mbr,
+         jnp.zeros((), params.dtype), dt_water,
          jnp.zeros((), jnp.int32)))
-    return water_new, with_t(t_f, sp, sw, mbr), dt_water
+    return (water_new, with_t(t_f.astype(params.dtype), sp, sw, mbr),
+            dt_water)
 
 
 @partial(jax.jit, static_argnames=("params", "max_substeps"))

@@ -1297,7 +1297,10 @@ def heat_substep_frozen(grid: Grid, params: SolverParameters,
 
     x, _, _ = lax.while_loop(cond, body, (t0, jnp.zeros((), jnp.int32),
                                           jnp.full((), jnp.inf, t0.dtype)))
-    t_new = jnp.where(mask, x.astype(params.dtype), t_field)
+    # stay in the CALLER's carry dtype (the coupled driver carries T in
+    # f32 — every accepted value comes out of the f32 solve, so an f64
+    # carry only doubles the while-loop copy traffic)
+    t_new = jnp.where(mask, x.astype(t_field.dtype), t_field)
 
     storage = _storage_from_invariants(grid, params, fz.inv, t_new, mask)
     sink = fz.flow_sum * dt_heat
