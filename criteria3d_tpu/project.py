@@ -726,7 +726,13 @@ class Criteria3DProject:
     def run_hour(self, when: datetime.datetime, *,
                  write_outputs: bool = True) -> dict:
         """One hour: interpolation -> model cycle -> outputs
-        (runModelHour, criteria3DProject.cpp:2020-2135)."""
+        (runModelHour, criteria3DProject.cpp:2020-2135).
+
+        Output rasters are STAGED (still on device) and written on the
+        next ``run_hour``/``flush_outputs`` call so the device->host
+        fetch overlaps the following hour's solve; callers driving
+        ``run_hour`` directly must call :meth:`flush_outputs` after the
+        last hour (``run_period`` does)."""
         if self.model is None:
             raise RuntimeError("initialize() first")
         forcing = self.hourly_forcing(when)
